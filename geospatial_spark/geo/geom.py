@@ -1,0 +1,434 @@
+"""Geometry kernel — own WKB codec, point-in-polygon, clipping, planar +
+UTM metrics.  Pure numpy; no shapely/pyproj (unavailable in-sandbox, and the
+point is a from-scratch engine — SURVEY.md §7.2).
+
+Reference semantics implemented here:
+
+* ``geom_stats`` — #shells/#holes/#points/area/perimeter in the geometry's
+  UTM zone (``/root/reference/geoparse/gutils.py:18-86``).
+* ``utm_zone_epsg`` — EPSG:326xx/327xx from centroid, zone = ceil(30+lon/6)
+  (``gutils.py:89-140``; golden: polygon near (-120.5, 35.5) → EPSG:32610).
+* ``flatten_3d`` — Z-drop; unlike the reference (which drops holes,
+  ``gutils.py:354-364`` — a bug) we preserve holes and document divergence.
+* point-in-polygon — even-odd ray cast with holes (fixes the S2 hole issue
+  the reference notes at ``gindex.py:18-19``).
+
+Geometries are represented as ``(geom_type, parts)`` where parts is a list
+of polygons, each polygon a list of rings, each ring an (n, 2) float64
+array of (lon, lat).  Points/LineStrings use a single "ring".
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
+WKB_MULTIPOLYGON = 6
+
+_Z_FLAG_EWKB = 0x80000000
+_Z_OFFSET_ISO = 1000
+
+
+class Geometry:
+    """Minimal geometry value object."""
+
+    __slots__ = ("geom_type", "parts")
+
+    def __init__(self, geom_type: str, parts):
+        self.geom_type = geom_type
+        self.parts = parts  # list[list[np.ndarray (n,2)]]
+
+    def __repr__(self):  # pragma: no cover
+        return f"Geometry({self.geom_type}, parts={len(self.parts)})"
+
+    @property
+    def rings(self):
+        """All rings across parts (shells first per part)."""
+        return [r for part in self.parts for r in part]
+
+
+def point(lon: float, lat: float) -> Geometry:
+    return Geometry("Point", [[np.array([[lon, lat]], dtype=np.float64)]])
+
+
+def linestring(coords) -> Geometry:
+    return Geometry("LineString", [[np.asarray(coords, dtype=np.float64)]])
+
+
+def polygon(shell, holes=()) -> Geometry:
+    rings = [np.asarray(shell, dtype=np.float64)]
+    rings += [np.asarray(h, dtype=np.float64) for h in holes]
+    for k, r in enumerate(rings):
+        if not np.array_equal(r[0], r[-1]):
+            rings[k] = np.vstack([r, r[:1]])
+    return Geometry("Polygon", [rings])
+
+
+def multipolygon(polys) -> Geometry:
+    return Geometry("MultiPolygon", [p.parts[0] for p in polys])
+
+
+# ---------------------------------------------------------------------------
+# WKB codec (little-endian writer; reader accepts both endiannesses and both
+# ISO (+1000) and EWKB (0x80000000) Z markers, stripping Z — U6 semantics
+# with holes preserved)
+# ---------------------------------------------------------------------------
+
+def _read_header(buf: memoryview, off: int) -> tuple[str, int, bool, int]:
+    byte_order = buf[off]
+    endian = "<" if byte_order == 1 else ">"
+    (raw_type,) = struct.unpack_from(endian + "I", buf, off + 1)
+    has_z = bool(raw_type & _Z_FLAG_EWKB) or (1000 <= (raw_type & 0xFFFF) < 2000)
+    gtype = raw_type & 0xFF
+    if 1000 <= (raw_type & 0xFFFF) < 2000:
+        gtype = (raw_type & 0xFFFF) - _Z_OFFSET_ISO
+    return endian, gtype, has_z, off + 5
+
+
+def _read_coords(buf, off, n, endian, has_z):
+    dim = 3 if has_z else 2
+    arr = np.frombuffer(buf, dtype=np.dtype(endian + "f8"), count=n * dim, offset=off)
+    arr = arr.reshape(n, dim)[:, :2].astype(np.float64)
+    return arr, off + n * dim * 8
+
+
+def parse_wkb(buf: bytes) -> Geometry:
+    mv = memoryview(buf)
+    geom, _ = _parse_one(mv, 0)
+    return geom
+
+
+def _parse_one(mv, off) -> tuple[Geometry, int]:
+    endian, gtype, has_z, off = _read_header(mv, off)
+    if gtype == WKB_POINT:
+        coords, off = _read_coords(mv, off, 1, endian, has_z)
+        return Geometry("Point", [[coords]]), off
+    if gtype == WKB_LINESTRING:
+        (n,) = struct.unpack_from(endian + "I", mv, off)
+        coords, off = _read_coords(mv, off + 4, n, endian, has_z)
+        return Geometry("LineString", [[coords]]), off
+    if gtype == WKB_POLYGON:
+        (nrings,) = struct.unpack_from(endian + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (n,) = struct.unpack_from(endian + "I", mv, off)
+            coords, off = _read_coords(mv, off + 4, n, endian, has_z)
+            rings.append(coords)
+        return Geometry("Polygon", [rings]), off
+    if gtype == WKB_MULTIPOLYGON:
+        (nparts,) = struct.unpack_from(endian + "I", mv, off)
+        off += 4
+        parts = []
+        for _ in range(nparts):
+            g, off = _parse_one(mv, off)
+            parts.extend(g.parts)
+        return Geometry("MultiPolygon", parts), off
+    if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING):
+        (nparts,) = struct.unpack_from(endian + "I", mv, off)
+        off += 4
+        parts = []
+        for _ in range(nparts):
+            g, off = _parse_one(mv, off)
+            parts.extend(g.parts)
+        return Geometry("MultiLineString" if gtype == WKB_MULTILINESTRING else "MultiPoint", parts), off
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def to_wkb(geom: Geometry) -> bytes:
+    out = bytearray()
+    _write_one(out, geom)
+    return bytes(out)
+
+
+def _write_one(out: bytearray, geom: Geometry):
+    if geom.geom_type == "Point":
+        out += struct.pack("<BI", 1, WKB_POINT)
+        out += geom.parts[0][0][0].astype("<f8").tobytes()
+    elif geom.geom_type == "LineString":
+        coords = geom.parts[0][0]
+        out += struct.pack("<BII", 1, WKB_LINESTRING, len(coords))
+        out += coords.astype("<f8").tobytes()
+    elif geom.geom_type == "Polygon":
+        rings = geom.parts[0]
+        out += struct.pack("<BII", 1, WKB_POLYGON, len(rings))
+        for r in rings:
+            out += struct.pack("<I", len(r))
+            out += r.astype("<f8").tobytes()
+    elif geom.geom_type == "MultiPolygon":
+        out += struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(geom.parts))
+        for part in geom.parts:
+            out += struct.pack("<BII", 1, WKB_POLYGON, len(part))
+            for r in part:
+                out += struct.pack("<I", len(r))
+                out += r.astype("<f8").tobytes()
+    else:
+        raise ValueError(f"cannot write {geom.geom_type}")
+
+
+# ---------------------------------------------------------------------------
+# predicates & measures
+# ---------------------------------------------------------------------------
+
+def bbox(geom: Geometry) -> tuple[float, float, float, float]:
+    allc = np.vstack([r for part in geom.parts for r in part])
+    return (
+        float(allc[:, 0].min()),
+        float(allc[:, 1].min()),
+        float(allc[:, 0].max()),
+        float(allc[:, 1].max()),
+    )
+
+
+def points_in_polygon(lons: np.ndarray, lats: np.ndarray, geom: Geometry) -> np.ndarray:
+    """Vectorized even-odd ray cast: True where (lon,lat) strictly inside
+    (points exactly on an edge follow the half-open convention: edges on the
+    'lower' side count — deterministic and documented)."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    inside = np.zeros(lons.shape, dtype=bool)
+    for part in geom.parts:
+        part_inside = np.zeros(lons.shape, dtype=bool)
+        for ring in part:
+            x0 = ring[:-1, 0]
+            y0 = ring[:-1, 1]
+            x1 = ring[1:, 0]
+            y1 = ring[1:, 1]
+            # for each edge, does a horizontal ray from the point cross it?
+            # vectorized over (points, edges) — chunk edges if huge
+            cond = (y0[None, :] > lats[:, None]) != (y1[None, :] > lats[:, None])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xints = (x1 - x0)[None, :] * (lats[:, None] - y0[None, :]) / (
+                    (y1 - y0)[None, :]
+                ) + x0[None, :]
+            crosses = cond & (lons[:, None] < xints)
+            part_inside ^= (np.sum(crosses, axis=1) % 2).astype(bool)
+        inside |= part_inside  # MultiPolygon parts: union of (shell xor holes)
+    return inside
+
+
+def segments_intersect(p1, p2, q1, q2) -> bool:
+    """Exact 2D segment intersection via orientation tests (scalar)."""
+
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):
+        return min(a[0], b[0]) <= c[0] <= max(a[0], b[0]) and min(a[1], b[1]) <= c[1] <= max(
+            a[1], b[1]
+        )
+
+    o1, o2 = orient(p1, p2, q1), orient(p1, p2, q2)
+    o3, o4 = orient(q1, q2, p1), orient(q1, q2, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and on_seg(p1, p2, q1):
+        return True
+    if o2 == 0 and on_seg(p1, p2, q2):
+        return True
+    if o3 == 0 and on_seg(q1, q2, p1):
+        return True
+    if o4 == 0 and on_seg(q1, q2, p2):
+        return True
+    return False
+
+
+def rect_intersects_polygon(minx, miny, maxx, maxy, geom: Geometry) -> bool:
+    """Exact rectangle-polygon ST_Intersects (filter/refine support)."""
+    gminx, gminy, gmaxx, gmaxy = bbox(geom)
+    if maxx < gminx or minx > gmaxx or maxy < gminy or miny > gmaxy:
+        return False
+    corners_lon = np.array([minx, maxx, maxx, minx])
+    corners_lat = np.array([miny, miny, maxy, maxy])
+    if points_in_polygon(corners_lon, corners_lat, geom).any():
+        return True
+    for part in geom.parts:
+        shell = part[0]
+        m = (
+            (shell[:, 0] >= minx)
+            & (shell[:, 0] <= maxx)
+            & (shell[:, 1] >= miny)
+            & (shell[:, 1] <= maxy)
+        )
+        if m.any():
+            return True
+    rect = [
+        ((minx, miny), (maxx, miny)),
+        ((maxx, miny), (maxx, maxy)),
+        ((maxx, maxy), (minx, maxy)),
+        ((minx, maxy), (minx, miny)),
+    ]
+    for part in geom.parts:
+        for ring in part:
+            for k in range(len(ring) - 1):
+                p1 = (ring[k, 0], ring[k, 1])
+                p2 = (ring[k + 1, 0], ring[k + 1, 1])
+                for q1, q2 in rect:
+                    if segments_intersect(p1, p2, q1, q2):
+                        return True
+    return False
+
+
+def clip_ring_to_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray | None:
+    """Sutherland–Hodgman clip of a ring against an axis-aligned rect
+    (the G2 grid-slicing analogue, gindex.py:199)."""
+    pts = [tuple(p) for p in ring[:-1]] if np.array_equal(ring[0], ring[-1]) else [
+        tuple(p) for p in ring
+    ]
+    for edge in range(4):
+        if not pts:
+            return None
+        out = []
+        n = len(pts)
+        for k in range(n):
+            cur = pts[k]
+            prv = pts[k - 1]
+            if edge == 0:
+                cin, pin = cur[0] >= minx, prv[0] >= minx
+            elif edge == 1:
+                cin, pin = cur[0] <= maxx, prv[0] <= maxx
+            elif edge == 2:
+                cin, pin = cur[1] >= miny, prv[1] >= miny
+            else:
+                cin, pin = cur[1] <= maxy, prv[1] <= maxy
+            if cin != pin:
+                if edge in (0, 1):
+                    xb = minx if edge == 0 else maxx
+                    t = (xb - prv[0]) / (cur[0] - prv[0])
+                    out.append((xb, prv[1] + t * (cur[1] - prv[1])))
+                else:
+                    yb = miny if edge == 2 else maxy
+                    t = (yb - prv[1]) / (cur[1] - prv[1])
+                    out.append((prv[0] + t * (cur[0] - prv[0]), yb))
+            if cin:
+                out.append(cur)
+        pts = out
+    if len(pts) < 3:
+        return None
+    arr = np.array(pts + [pts[0]], dtype=np.float64)
+    return arr
+
+
+def ring_area_planar(ring: np.ndarray) -> float:
+    """Signed shoelace area (planar units of the ring's CRS)."""
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def ring_length_planar(ring: np.ndarray) -> float:
+    d = np.diff(ring, axis=0)
+    return float(np.sum(np.sqrt((d**2).sum(axis=1))))
+
+
+# ---------------------------------------------------------------------------
+# UTM (transverse Mercator) — Snyder forward series, WGS-84
+# ---------------------------------------------------------------------------
+
+_K0 = 0.9996
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2.0 - _F)
+_EP2 = _E2 / (1.0 - _E2)
+
+
+def utm_zone(lon) -> np.ndarray:
+    """UTM zone number = ceil(30 + lon/6), clipped to [1, 60]
+    (gutils.py:137)."""
+    z = np.ceil(30.0 + np.asarray(lon, dtype=np.float64) / 6.0)
+    return np.clip(z, 1, 60).astype(np.int64)
+
+
+def utm_zone_epsg(lat, lon) -> np.ndarray:
+    """EPSG code string per gutils.py:131-137."""
+    zone = utm_zone(lon)
+    north = np.asarray(lat, dtype=np.float64) >= 0
+    base = np.where(north, 32600, 32700) + zone
+    return base.astype(np.int64)
+
+
+def utm_forward(lat, lon, zone=None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """lat/lon degrees → (easting, northing, zone) in the given or natural
+    UTM zone.  Snyder (1987) series; <1mm error within zone."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    if zone is None:
+        zone = utm_zone(lon)
+    zone = np.asarray(zone)
+    lon0 = (zone.astype(np.float64) - 1.0) * 6.0 - 180.0 + 3.0
+    phi = np.radians(lat)
+    lam = np.radians(lon - lon0)
+    sin_phi = np.sin(phi)
+    cos_phi = np.cos(phi)
+    tan_phi = np.tan(phi)
+    N = _A / np.sqrt(1.0 - _E2 * sin_phi**2)
+    T = tan_phi**2
+    C = _EP2 * cos_phi**2
+    Aa = lam * cos_phi
+    e2, e4, e6 = _E2, _E2**2, _E2**3
+    M = _A * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+        - (35 * e6 / 3072) * np.sin(6 * phi)
+    )
+    x = (
+        _K0
+        * N
+        * (Aa + (1 - T + C) * Aa**3 / 6 + (5 - 18 * T + T**2 + 72 * C - 58 * _EP2) * Aa**5 / 120)
+        + 500000.0
+    )
+    y = _K0 * (
+        M
+        + N
+        * tan_phi
+        * (
+            Aa**2 / 2
+            + (5 - T + 9 * C + 4 * C**2) * Aa**4 / 24
+            + (61 - 58 * T + T**2 + 600 * C - 330 * _EP2) * Aa**6 / 720
+        )
+    )
+    y = np.where(lat < 0, y + 10000000.0, y)
+    return x, y, zone
+
+
+def geom_stats(geom: Geometry, unit: str = "m") -> tuple[int, int, int, float, float]:
+    """(n_shells, n_holes, n_shell_points, area, perimeter) in the geometry's
+    UTM zone — reference U1 (gutils.py:18-86).  Unit 'm' → m/m²,
+    'km' → km/km²."""
+    n_shells = len(geom.parts)
+    n_holes = sum(len(part) - 1 for part in geom.parts)
+    n_points = sum(len(part[0]) for part in geom.parts)
+    allc = np.vstack([r for part in geom.parts for r in part])
+    cen_lon = float(allc[:, 0].mean())
+    cen_lat = float(allc[:, 1].mean())
+    zone = int(utm_zone(np.array([cen_lon]))[0])
+    area = 0.0
+    perim = 0.0
+    for part in geom.parts:
+        for k, ring in enumerate(part):
+            x, y, _ = utm_forward(ring[:, 1], ring[:, 0], zone=np.full(len(ring), zone))
+            xy = np.column_stack([x, y])
+            a = abs(ring_area_planar(xy))
+            if k == 0:
+                area += a
+                perim += ring_length_planar(xy)
+            else:
+                area -= a
+    if unit == "km":
+        return n_shells, n_holes, n_points, area / 1e6, perim / 1e3
+    return n_shells, n_holes, n_points, area, perim
+
+
+def flatten_3d_wkb(buf: bytes) -> bytes:
+    """Z-strip: any-dimension WKB → 2D WKB (holes preserved; divergence from
+    reference gutils.py:354-364 which drops holes — documented bug-fix)."""
+    return to_wkb(parse_wkb(buf))
