@@ -1,0 +1,135 @@
+"""Spark-side builders for the derived ``pages`` / ``gazetteer`` / ``regions``
+/ ``points`` tables (DataFrame API, all-JVM expressions — no UDF in the
+derivation path, so Catalyst folds/pushes everything).
+
+Mirrors ``sources.oracle`` SQL bit-for-bit: both use the exact-integer LCG
+from ``sources.constants`` and IEEE double arithmetic in the same order.
+
+At 100 TB these builders stay scale-safe: the replication is a broadcast
+cross join (no shuffle), ``events`` lookup is a broadcast hash join, and the
+mention model is pure column math; the only wide exchange in any derived
+pipeline is the one the downstream operator (join/tile agg) actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import constants as C
+
+
+def rnd_col(x: Column, salt: int) -> Column:
+    """Triple-pass 31-bit LCG on a BIGINT column (exact integer math)."""
+    y = x + F.lit(C.SALT_STRIDE * salt)
+    for _ in range(3):
+        y = (y * F.lit(C.LCG_A) + F.lit(C.LCG_C)) % F.lit(C.LCG_M)
+    return y
+
+
+def uniform_col(x: Column, salt: int) -> Column:
+    return rnd_col(x, salt) / F.lit(float(C.LCG_M))
+
+
+def _city_name_col(idx: Column) -> Column:
+    expr = F.concat(F.lit("city_"), F.lpad(idx.cast("string"), 3, "0"))
+    for k, (name, _, _) in enumerate(C.MEGACITIES):
+        expr = F.when(idx == F.lit(C.N_SYNTH_CITIES + k), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def _mention_idx(raw: Column) -> Column:
+    mega = F.lit(C.N_SYNTH_CITIES) + ((raw / 4).cast("bigint")) % F.lit(C.N_MEGA)
+    return F.when(raw % C.MEGACITY_MOD == 0, mega).otherwise(raw % C.N_SYNTH_CITIES)
+
+
+def pages(spark: SparkSession, sf_dir: str, replication: int = C.REPLICATION) -> DataFrame:
+    """The engine's primary input table (url, warc_ts, html, text, lang).
+
+    text = documents.text + 0..3 deterministic ' near <City>.' mentions;
+    per-url sha256(text) is the pipeline invariant (BASELINE.json:16).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    n_events = events.count()
+    reps = spark.range(replication).withColumnRenamed("id", "rep")
+    df = docs.crossJoin(F.broadcast(reps))
+    page_id = F.col("doc_id") * replication + F.col("rep")
+    df = df.withColumn("page_id", page_id)
+    df = df.withColumn("n_mentions", rnd_col(F.col("page_id"), C.SALT_N_MENTIONS) % 4)
+    text = F.col("text")
+    for k in range(3):
+        raw = rnd_col(F.col("page_id"), C.SALT_MENTION_BASE + k)
+        name = _city_name_col(_mention_idx(raw))
+        text = F.concat(
+            text,
+            F.when(
+                F.col("n_mentions") > k, F.concat(F.lit(" near "), name, F.lit("."))
+            ).otherwise(F.lit("")),
+        )
+    df = df.withColumn("text_out", text)
+    df = df.join(
+        F.broadcast(events), F.col("page_id") % n_events == F.col("event_id"), "inner"
+    )
+    return df.select(
+        F.concat(
+            F.lit("https://example.org/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("page_id").cast("string"),
+        ).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text_out"), F.lit("</body></html>")),
+            "utf-8",
+        ).alias("html"),
+        F.col("text_out").alias("text"),
+        F.col("lang"),
+        F.col("page_id"),
+    )
+
+
+def gazetteer(spark: SparkSession) -> DataFrame:
+    """276-row broadcast geocoding table (name → lat/lon/population)."""
+    rows = C.gazetteer_rows()
+    return spark.createDataFrame(
+        rows, "idx bigint, name string, lat double, lon double, population bigint"
+    )
+
+
+def regions(spark: SparkSession) -> DataFrame:
+    """64 axis-aligned regions with WKB polygon geometry (the PIP-join small
+    side; rectangles so the DuckDB oracle can verify via plain comparisons
+    while the engine runs its real WKB/polyfill/PIP machinery)."""
+    from ..geo import geom as gm
+
+    rows = []
+    for i, region_id, cidx, minx, miny, maxx, maxy in C.region_rows():
+        poly = gm.polygon([(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)])
+        rows.append((i, region_id, cidx, minx, miny, maxx, maxy, bytearray(gm.to_wkb(poly))))
+    return spark.createDataFrame(
+        rows,
+        "region_idx bigint, region_id string, center_idx bigint, "
+        "minx double, miny double, maxx double, maxy double, geometry binary",
+    )
+
+
+def extract_points(pages_df: DataFrame, gazetteer_df: DataFrame) -> DataFrame:
+    """N4: text → geo-entity mentions → geocoded points.
+
+    Extraction is a JVM-side regexp (vectorized, codegen'd); geocoding is a
+    broadcast hash equi-join on the normalized entity name (reference U11
+    analogue, gutils.py:603-660 — network geocoder replaced by gazetteer).
+    ``text`` is never mutated (read-only projection).
+    """
+    mentions = pages_df.select(
+        "url",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(C.ENTITY_REGEX), F.lit(1))
+        ).alias("entity"),
+    )
+    return mentions.join(
+        F.broadcast(gazetteer_df.select("name", "lat", "lon")),
+        mentions.entity == F.col("name"),
+        "inner",
+    ).select("url", "entity", "lat", "lon")
