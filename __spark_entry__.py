@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (pages → geo-entity extraction →
+gazetteer geocode → PIP join against region polygons) at sf0.001.
+``queries()`` / ``oracle_sql()`` register every oracle-checkable operator;
+non-SQL-expressible ops get rows-only entries (no oracle_sql key).
+
+All derived tables (pages/gazetteer/regions/points) are reconstructed
+bit-identically on both engines — see geospatial_spark/sources/{pages,oracle}.py.
 """
 
 from __future__ import annotations
@@ -12,27 +14,180 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_spark.functions import udfs
+from geospatial_spark.operators import knn as knn_ops
+from geospatial_spark.operators import pip_join as pj
+from geospatial_spark.operators import tiling
+from geospatial_spark.sources import constants as C
+from geospatial_spark.sources import oracle as osql
+from geospatial_spark.sources import pages as src
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return src.extract_points(src.pages(spark, sf_dir), src.gazetteer(spark))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PIP spatial join of geocoded page mentions into regions."""
+    pts = _points(spark, SF_SMOKE)
+    regions = src.regions(spark)
+    return pj.pip_join(
+        pts,
+        regions,
+        poly_id="region_id",
+        precision=4,
+        strategy="broadcast",
+        point_cols=("url", "entity", "lat", "lon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries / oracles
+# ---------------------------------------------------------------------------
+
+
+def _q_pages_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-url sha256(text) — the byte-identical-text invariant surface."""
+    return src.pages(spark, sf_dir).select(
+        "url", "lang", F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+
+
+def _q_extract_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _points(spark, sf_dir)
+
+
+def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pj.pip_join(
+        _points(spark, sf_dir),
+        src.regions(spark),
+        poly_id="region_id",
+        precision=4,
+        strategy="broadcast",
+        point_cols=("url", "entity"),
+    )
+
+
+def _q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join through the shuffle+salting path (N5) — must agree with the
+    broadcast plan AND the oracle."""
+    return pj.pip_join(
+        _points(spark, sf_dir),
+        src.regions(spark),
+        poly_id="region_id",
+        precision=4,
+        strategy="shuffle",
+        salt=4,
+        heavy_cell_rows=200,
+        point_cols=("url", "entity"),
+    )
+
+
+def _q_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pj.pip_join_counts(_q_pip_join(spark, sf_dir))
+
+
+def _q_tiles_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiling.tile_assignments(_points(spark, sf_dir), zooms=(8,))
+
+
+def _q_tiles_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiling.tile_assignments(_points(spark, sf_dir), zooms=(12,))
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir).select("url", "entity", "lat", "lon").distinct()
+    gaz = [(n, la, lo) for _, n, la, lo, _ in C.gazetteer_rows()]
+    out = knn_ops.knn_join_broadcast(pts, gaz, k=5)
+    return out.select(
+        "url", "entity", "neighbor_name", "rank", F.round("dist_m", 3).alias("dist_m")
+    )
+
+
+def _q_utm_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(udfs.utm_epsg_col(F.col("lat"), F.col("lon")).alias("epsg"))
+        .groupBy("epsg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_haversine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance of every point to London, bucketed to whole km (integer
+    output → float-robust oracle compare)."""
+    pts = _points(spark, sf_dir)
+    lond = [m for m in C.MEGACITIES if m[0] == "London"][0]
+    d = udfs.haversine_col(F.col("lat"), F.col("lon"), F.lit(lond[1]), F.lit(lond[2]))
+    return (
+        pts.select((F.floor(d / 1000.0)).cast("long").alias("km_bucket"))
+        .groupBy("km_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pages_invariant": _q_pages_invariant,
+        "extract_geocode": _q_extract_geocode,
+        "pip_join": _q_pip_join,
+        "pip_join_salted": _q_pip_join_salted,
+        "pip_counts": _q_pip_counts,
+        "tiles_z8": _q_tiles_z8,
+        "tiles_z12": _q_tiles_z12,
+        "knn_k5": _q_knn,
+        "utm_zone": _q_utm_zone,
+        "haversine_buckets": _q_haversine_buckets,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    G = osql.with_geo_ctes
+    hav = udfs.HAVERSINE_SQL
+    lond = [m for m in C.MEGACITIES if m[0] == "London"][0]
+    d_london = hav.format(lat1="p.lat", lon1="p.lon", lat2=repr(lond[1]), lon2=repr(lond[2]))
+    d_gaz = hav.format(lat1="p.lat", lon1="p.lon", lat2="g.lat", lon2="g.lon")
+    pip_sql = (
+        "SELECT p.url, p.entity, r.region_id FROM points p JOIN regions r ON "
+        "p.lon >= r.minx AND p.lon <= r.maxx AND p.lat >= r.miny AND p.lat <= r.maxy"
+    )
+    return {
+        "pages_invariant": G("SELECT url, lang, sha256(text) AS text_sha FROM pages"),
+        "extract_geocode": G("SELECT url, entity, lat, lon FROM points"),
+        "pip_join": G(pip_sql),
+        "pip_join_salted": G(pip_sql),
+        "pip_counts": G(
+            "SELECT r.region_id, count(*) AS n_points FROM points p JOIN regions r ON "
+            "p.lon >= r.minx AND p.lon <= r.maxx AND p.lat >= r.miny AND p.lat <= r.maxy "
+            "GROUP BY r.region_id"
+        ),
+        "tiles_z8": G(
+            f"SELECT 8 AS z, {udfs.tile_x_sql('lon', 8)} AS x, {udfs.tile_y_sql('lat', 8)} AS y, "
+            "count(*) AS n_points FROM points GROUP BY 1, 2, 3"
+        ),
+        "tiles_z12": G(
+            f"SELECT 12 AS z, {udfs.tile_x_sql('lon', 12)} AS x, {udfs.tile_y_sql('lat', 12)} AS y, "
+            "count(*) AS n_points FROM points GROUP BY 1, 2, 3"
+        ),
+        "knn_k5": G(
+            "SELECT url, entity, neighbor_name, CAST(rank AS INT) AS rank, round(dist_m, 3) AS dist_m FROM ("
+            "  SELECT p.url, p.entity, g.name AS neighbor_name, "
+            f"         {d_gaz} AS dist_m, "
+            f"         row_number() OVER (PARTITION BY p.url, p.entity ORDER BY {d_gaz} ASC, g.name ASC) AS rank "
+            "  FROM (SELECT DISTINCT url, entity, lat, lon FROM points) p CROSS JOIN gaz g"
+            ") WHERE rank <= 5"
+        ),
+        "utm_zone": G(
+            "SELECT CAST((CASE WHEN p.lat >= 0 THEN 32600 ELSE 32700 END) + "
+            "least(60, greatest(1, CAST(ceil(30.0 + p.lon / 6.0) AS BIGINT))) AS INT) AS epsg, "
+            "count(*) AS n FROM points p GROUP BY 1"
+        ),
+        "haversine_buckets": G(
+            f"SELECT CAST(floor(({d_london}) / 1000.0) AS BIGINT) AS km_bucket, count(*) AS n "
+            "FROM points p GROUP BY 1"
+        ),
+    }
