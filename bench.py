@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line:  {"metric": ..., "value": <total sec>, "unit": "sec",
+        "queries": {name: sec}, "sf": ..., ...extras}
+
+Extras carry the north-rule throughput numbers (spatial-join rows/sec and
+tile assignments/sec) so BENCH_r{N}.json is directly comparable to
+BASELINE.md.  All Spark/driver logs go to stderr; stdout is the JSON line.
+
+Usage:  python bench.py            # full headline set
+        SPARK_GRAFT_CPUS=8 python bench.py   # scaling-evidence run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("geospatial-spark-bench")
+        # ~4 task waves per stage (reference budget, gindex.py:210)
+        .config("spark.sql.shuffle.partitions", str(4 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    # JVM/Arrow warmup so startup cost isn't charged to the first query
+    t0 = time.time()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    log(f"warmup {time.time() - t0:.1f}s  sf_dir={sf_dir} cpus={cpus}")
+
+    headline = [
+        "extract_geocode",
+        "pip_join",
+        "pip_join_salted",
+        "pip_counts",
+        "tiles_z8",
+        "tiles_z12",
+        "knn_k5",
+        "pages_invariant",
+        # training-data pipeline ops (present from the op-widening commits on)
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "ann_topk",
+        "text_quality",
+        "lang_id",
+    ]
+
+    timings: dict[str, float] = {}
+    rowcounts: dict[str, int] = {}
+    for name in headline:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full materialization incl. UDF refine stages
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        rowcounts[name] = n
+        log(f"{name:>18}: {dt:7.2f}s  {n:>9} rows")
+
+    total = round(sum(timings.values()), 3)
+    join_rps = (
+        round(rowcounts.get("pip_join", 0) / timings["pip_join"], 1)
+        if timings.get("pip_join")
+        else None
+    )
+    tile_aps = (
+        round(
+            (rowcounts.get("tiles_z8", 0) + rowcounts.get("tiles_z12", 0))
+            / max(timings.get("tiles_z8", 0) + timings.get("tiles_z12", 0), 1e-9),
+            1,
+        )
+        if "tiles_z8" in timings
+        else None
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "rows": rowcounts,
+                "spatial_join_rows_per_sec": join_rps,
+                "tile_assignments_per_sec": tile_aps,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
