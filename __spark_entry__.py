@@ -17,11 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geospatial_spark.functions import udfs
+from geospatial_spark.operators import dedup as dd
 from geospatial_spark.operators import knn as knn_ops
+from geospatial_spark.operators import media as med
 from geospatial_spark.operators import pip_join as pj
+from geospatial_spark.operators import similarity as sim
+from geospatial_spark.operators import textstats as ts
 from geospatial_spark.operators import tiling
 from geospatial_spark.sources import constants as C
 from geospatial_spark.sources import oracle as osql
+from geospatial_spark.sources import oracle_text as otxt
 from geospatial_spark.sources import pages as src
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -130,6 +135,67 @@ def _q_haversine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (dedup / similarity / text analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dd.dedup_exact(src.pages(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return dd.dedup_minhash(src.pages(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dd.dedup_simhash(src.pages(spark, sf_dir))
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    return dd.dedup_ngram(src.pages(spark, sf_dir))
+
+
+def _q_dedup_embed(spark, sf_dir):
+    return dd.dedup_embed(_emb(spark, sf_dir))
+
+
+def _q_ann_topk(spark, sf_dir):
+    return sim.ann_topk(_emb(spark, sf_dir))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return sim.ann_lsh_topk(_emb(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return ts.lang_id(_docs(spark, sf_dir), spark)
+
+
+def _q_text_quality(spark, sf_dir):
+    return ts.text_quality(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    return ts.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_media_features(spark, sf_dir):
+    return med.extract_features(med.media_table(spark, sf_dir))
+
+
+def _q_frame_samples(spark, sf_dir):
+    return med.frame_samples(_q_media_features(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pages_invariant": _q_pages_invariant,
@@ -142,6 +208,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_k5": _q_knn,
         "utm_zone": _q_utm_zone,
         "haversine_buckets": _q_haversine_buckets,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram": _q_dedup_ngram,
+        "dedup_embed": _q_dedup_embed,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "lang_id": _q_lang_id,
+        "text_quality": _q_text_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "media_features": _q_media_features,
+        "frame_samples": _q_frame_samples,
     }
 
 
@@ -189,5 +267,20 @@ def oracle_sql() -> dict[str, str]:
         "haversine_buckets": G(
             f"SELECT CAST(floor(({d_london}) / 1000.0) AS BIGINT) AS km_bucket, count(*) AS n "
             "FROM points p GROUP BY 1"
+        ),
+        "dedup_exact": otxt.dedup_exact_sql(),
+        "dedup_minhash": otxt.dedup_minhash_sql(),
+        "dedup_simhash": otxt.dedup_simhash_sql(),
+        "dedup_ngram": otxt.dedup_ngram_sql(),
+        "dedup_embed": otxt.dedup_embed_sql(),
+        "ann_topk": otxt.ann_topk_sql(),
+        "ann_lsh": otxt.ann_lsh_topk_sql(),
+        "lang_id": otxt.lang_id_sql(),
+        "text_quality": otxt.text_quality_sql(),
+        "doc_fingerprint": otxt.doc_fingerprint_sql(),
+        "media_features": otxt.media_features_sql(),
+        "frame_samples": (
+            f"SELECT media_id, unnest(range(0, n_frames, 16)) AS frame_idx "
+            f"FROM ({otxt.media_features_sql()}) WHERE kind = 'video'"
         ),
     }

@@ -1,0 +1,182 @@
+"""icelite — minimal Iceberg-style table emulation with per-partition
+lineage and resumable commits (north rule: "every stage writes per-partition
+lineage rows (cell-range, row-count, checksum) to a metrics table so a
+killed job resumes from the last committed partition").
+
+No Iceberg runtime jar exists in this sandbox, so the on-disk contract is
+emulated; the interface is deliberately narrow (load / write_partitioned /
+committed_partitions / lineage) so a real cluster binds the same call sites
+to ``spark.read.format("iceberg")`` + a real metrics table untouched.
+
+Layout::
+
+    {root}/{table}/data/pid={P}/*.parquet      -- partition P's rows
+    {root}/{table}/metadata/v{N}.json          -- snapshot manifest
+    {root}/{table}/metadata/VERSION            -- atomic pointer (rename swap)
+
+Manifest: schema DDL + one record per committed partition
+(partition_id, row_count, key_min, key_max, checksum, committed_at).
+
+Commit protocol: partitions are written in batches; after each batch the
+new manifest is written to a temp file and ``os.rename``-swapped — a kill
+between batches loses at most the in-flight batch, and a rerun skips every
+partition already in the manifest (resume = anti-join on partition_id).
+
+Scale notes: each batch is one distributed filter+write job over only that
+batch's partitions (partition pruning on the hash key), plus one partial-agg
+stats job; there is no driver collect of data — only the per-partition stat
+rows (n_partitions rows total) ever reach the driver.  The checksum is an
+order-insensitive ``bit_xor(xxhash64(...))`` so it is shuffle-free to verify.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "stage string, partition_id int, key_min bigint, key_max bigint, "
+    "row_count bigint, checksum bigint, committed_at double"
+)
+
+
+def _meta_dir(root: str, table: str) -> str:
+    return os.path.join(root, table, "metadata")
+
+
+def _data_dir(root: str, table: str) -> str:
+    return os.path.join(root, table, "data")
+
+
+def current_manifest(root: str, table: str) -> dict[str, Any] | None:
+    vfile = os.path.join(_meta_dir(root, table), "VERSION")
+    if not os.path.exists(vfile):
+        return None
+    with open(vfile) as f:
+        v = f.read().strip()
+    with open(os.path.join(_meta_dir(root, table), f"v{v}.json")) as f:
+        return json.load(f)
+
+
+def committed_partitions(root: str, table: str) -> set[int]:
+    man = current_manifest(root, table)
+    if man is None:
+        return set()
+    return {rec["partition_id"] for rec in man["partitions"]}
+
+
+def _swap_manifest(root: str, table: str, manifest: dict[str, Any]) -> None:
+    md = _meta_dir(root, table)
+    os.makedirs(md, exist_ok=True)
+    v = manifest["version"]
+    tmp = os.path.join(md, f".v{v}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(md, f"v{v}.json"))
+    tmpv = os.path.join(md, ".VERSION.tmp")
+    with open(tmpv, "w") as f:
+        f.write(str(v))
+    os.rename(tmpv, os.path.join(md, "VERSION"))  # atomic pointer swap
+
+
+def write_partitioned(
+    df: DataFrame,
+    root: str,
+    table: str,
+    *,
+    stage: str,
+    key_col: str,
+    n_partitions: int = 16,
+    batch_size: int = 4,
+    fail_after_batches: int | None = None,
+) -> dict[str, Any]:
+    """Resumably materialize ``df`` into ``root/table`` partitioned by
+    ``pid = pmod(xxhash64(key_col), n_partitions)``.
+
+    Skips partitions already committed (resume).  ``fail_after_batches``
+    injects a crash for the resume test.  Returns the final manifest.
+    """
+    pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_partitions)).cast("int")
+    staged = df.withColumn("__pid", pid)
+
+    done = committed_partitions(root, table)
+    todo = [p for p in range(n_partitions) if p not in done]
+    man = current_manifest(root, table) or {
+        "table": table,
+        "schema": df.schema.simpleString(),
+        "stage": stage,
+        "n_partitions": n_partitions,
+        "version": 0,
+        "partitions": [],
+    }
+
+    batches = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
+    for bi, batch in enumerate(batches):
+        if fail_after_batches is not None and bi >= fail_after_batches:
+            raise RuntimeError(f"injected failure before batch {bi} (resume test)")
+        part = staged.filter(F.col("__pid").isin(batch))
+        (
+            part.write.mode("append")
+            .partitionBy("__pid")
+            .parquet(_data_dir(root, table))
+        )
+        stats = (
+            part.groupBy("__pid")
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.min(F.col(key_col).cast("bigint")).alias("key_min"),
+                F.max(F.col(key_col).cast("bigint")).alias("key_max"),
+                F.expr(
+                    "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+                ).alias("checksum"),
+            )
+            .collect()
+        )
+        now = time.time()
+        by_pid = {r["__pid"]: r for r in stats}
+        for p in batch:
+            r = by_pid.get(p)
+            man["partitions"].append(
+                {
+                    "partition_id": p,
+                    "row_count": r["row_count"] if r else 0,
+                    "key_min": r["key_min"] if r else None,
+                    "key_max": r["key_max"] if r else None,
+                    "checksum": r["checksum"] if r else 0,
+                    "stage": stage,
+                    "committed_at": now,
+                }
+            )
+        man["version"] += 1
+        _swap_manifest(root, table, man)
+    return man
+
+
+def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
+    """Read only COMMITTED partitions (manifest-pruned scan)."""
+    done = committed_partitions(root, table)
+    base = spark.read.parquet(_data_dir(root, table))
+    return base.filter(F.col("__pid").isin(list(done))).drop("__pid")
+
+
+def lineage(spark: SparkSession, root: str, table: str) -> DataFrame:
+    """The lineage/metrics table as a DataFrame (from the manifest)."""
+    man = current_manifest(root, table)
+    rows = [
+        (
+            rec["stage"],
+            rec["partition_id"],
+            rec["key_min"],
+            rec["key_max"],
+            rec["row_count"],
+            rec["checksum"],
+            rec["committed_at"],
+        )
+        for rec in (man["partitions"] if man else [])
+    ]
+    return spark.createDataFrame(rows, LINEAGE_SCHEMA)

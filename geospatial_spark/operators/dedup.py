@@ -1,0 +1,283 @@
+"""Deduplication operators over the web-page corpus — the training-data-
+pipeline half of the engine (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+All four schemes are pure DataFrame algebra over the shared JVM-native
+60-bit hash (functions.texthash) — **no Python UDF anywhere**, so every
+stage is whole-stage-codegen'd and every operator has an exact DuckDB
+oracle (sources.oracle_text mirrors the arithmetic).
+
+Scale design (the 100 TB story):
+* shingle/token explosion is map-side only (explode → hash → local partial
+  agg); the first exchange is the per-doc signature groupBy, whose output is
+  ONE row per document (64 ints) — shuffle volume ~ docs, not tokens.
+* LSH candidate generation is an equi self-join on (band, band_key): hash
+  shuffle on a well-distributed key; identical-text clusters all land in one
+  band bucket → AQE skew-join splits them; candidate pairs are verified with
+  an exact Jaccard join so false positives cost only compute, never
+  correctness.
+* exact dedup is one partial-aggregatable groupBy on sha2(text).
+
+The natural fixture: `pages` replicates each document 16× with 0-3 appended
+" near <City>." mentions — replicas are exact dups (same draw) or near-dups
+(~0.85-0.99 shingle Jaccard), the precise regime MinHash/SimHash target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+
+
+def dedup_exact(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: sha256(text) → (n_copies, keeper=min id).
+
+    Returns only groups with >1 copy.  One shuffle (partial agg first)."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keeper"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Distinct (id, shingle-hash) relation — input to minhash + verify."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(TH.word_shingles(F.col(text_col))).alias("s"),
+        )
+        .select("id", TH.h60(F.col("s")).alias("h"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(id, m0..m63): one row per doc after the signature groupBy."""
+    return sh.groupBy("id").agg(*TH.minhash_min_aggs("h"))
+
+
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Banded LSH: (id_a < id_b) pairs sharing at least one band key."""
+    keys = sigs.select("id", *[TH.band_key(b) for b in range(TH.MINHASH_BANDS)])
+    bands = keys.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"bk{b}").alias("key")
+                    )
+                    for b in range(TH.MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    cand: DataFrame, sh: DataFrame, threshold_ppm: int = 700_000
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps >= threshold.
+
+    jac_ppm = floor(1e6 * |A∩B| / |A∪B|) — exact-int inputs, IEEE double
+    division, identical in both engines."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("id").alias("id_a"), "h")
+    sb = sh.select(F.col("id").alias("id_b"), "h")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn(
+            "jac_ppm",
+            F.floor(F.lit(1e6) * F.col("inter") / F.col("uni")).cast("bigint"),
+        )
+    )
+    return out.filter(F.col("jac_ppm") >= threshold_ppm).select(
+        "id_a", "id_b", "inter", "uni", "jac_ppm"
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold_ppm: int = 700_000,
+) -> DataFrame:
+    """MinHash(64) + LSH(16×4) near-dup pairs with exact-Jaccard verify."""
+    sh = shingle_hashes(df, id_col, text_col)
+    cand = lsh_candidates(minhash_signatures(sh))
+    return jaccard_verify(cand, sh, threshold_ppm)
+
+
+def simhash_table(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """(id, simhash): 60-bit simhash over distinct tokens (vote per bit)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(TH.tokens(F.col(text_col)))).alias("t"),
+    ).select("id", TH.h60(F.col("t")).alias("h"))
+    bits = tok.groupBy("id").agg(*TH.simhash_bit_aggs("h"))
+    return bits.select("id", TH.simhash_from_bits().alias("simhash"))
+
+
+def dedup_simhash(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded (4×15-bit) candidates, exact hamming
+    filter.  Any pair with hamming <= 3 shares at least one of 4 bands
+    (pigeonhole) → exact recall at this radius."""
+    st = simhash_table(df, id_col, text_col)
+    bands = st.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("simhash"), k * TH.SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << TH.SIMHASH_BAND_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for k in range(TH.SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_ngram(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    k: int = 4,
+    prefix: int = 40,
+    threshold_ppm: int = 800_000,
+) -> DataFrame:
+    """Char-k-gram Jaccard near-dup with deterministic prefix blocking
+    (non-probabilistic counterpart to MinHash): block on md5(first `prefix`
+    chars) — replicas of one base doc share the block — then exact k-gram
+    Jaccard within blocks."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.substring(F.col(text_col), 1, prefix)).alias("blk"),
+        F.explode(TH.char_shingles_h(F.col(text_col), k)).alias("h"),
+    ).distinct()
+    sizes = base.groupBy("id", "blk").agg(F.count(F.lit(1)).alias("n"))
+    a = sizes.select(F.col("blk"), F.col("id").alias("id_a"), F.col("n").alias("na"))
+    b = sizes.select(F.col("blk"), F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    sa = base.select(F.col("id").alias("id_a"), "h")
+    sb = base.select(F.col("id").alias("id_b"), "h")
+    inter = (
+        cand.select("id_a", "id_b", "na", "nb")
+        .join(sa, "id_a")
+        .join(sb, ["id_b", "h"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = inter.withColumn("uni", F.col("na") + F.col("nb") - F.col("inter")).withColumn(
+        "jac_ppm", F.floor(F.lit(1e6) * F.col("inter") / F.col("uni")).cast("bigint")
+    )
+    return out.filter(F.col("jac_ppm") >= threshold_ppm).select(
+        "id_a", "id_b", "jac_ppm"
+    )
+
+
+def dedup_embed(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    threshold_ppm: int = 300_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup: SRP-LSH bucket blocking + exact-int cosine.
+
+    cosine_ppm = floor(1e6 * dot / sqrt(na*nb)) over 1e6-scaled int vectors —
+    exact-int dot/norms, deterministic double sqrt/div in both engines.
+    Same-bucket blocking is the scale path (recall < 1 by design; the
+    brute-force oracle-matched exact variant is similarity.ann_topk)."""
+    planes = TH.srp_planes(n_planes, dim)
+    base = emb_df.select(
+        F.col(id_col).alias("id"), TH.emb_scaled(F.col(vec_col), dim).alias("v")
+    ).withColumn("bucket", TH.srp_bucket(F.col("v"), planes))
+    base = base.withColumn("norm2", TH.int_dot(F.col("v"), F.col("v")))
+    a = base.select(
+        F.col("bucket"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm2").alias("na2"),
+    )
+    b = base.select(
+        F.col("bucket"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm2").alias("nb2"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.withColumn("dot", TH.int_dot(F.col("va"), F.col("vb"))).withColumn(
+        "cos_ppm",
+        F.floor(
+            F.lit(1e6)
+            * F.col("dot")
+            / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+        ).cast("bigint"),
+    )
+    return out.filter(F.col("cos_ppm") >= threshold_ppm).select(
+        "id_a", "id_b", "cos_ppm"
+    )

@@ -1,0 +1,119 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+* ``ann_topk``      — exact brute-force cosine top-k: query subset ×
+  broadcast/shuffled candidates, JVM ``zip_with``/``aggregate`` exact-int
+  dot product, window ``row_number() <= k``.  The correctness baseline.
+* ``ann_lsh_topk``  — the scale path: SRP (signed-random-projection) LSH
+  bucket blocking; candidates restricted to the query's bucket, then the
+  same exact re-rank.  Recall < 1 by construction; the oracle replicates
+  the bucketing exactly so parity is still bitwise.
+
+Both are pure relational plans (no Python UDF): cosine is computed on
+1e6-scaled int64 vectors (floor(x*1e6+0.5)) so dot/norms are exact integers
+and only the final sqrt/divide touches IEEE doubles — deterministic and
+DuckDB-mirrorable.
+
+Scale notes: at 10^9+ vectors brute force is a cross join — the LSH plan
+replaces it with an equi-join on bucket (one shuffle each side); bucket
+count 2^n_planes is the partition-count lever, and heavy buckets split via
+AQE.  For 100 TB the candidate side would additionally be IVF-partitioned
+per bucket file (same cell-partitioning machinery the geo side uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+
+
+def _scaled(emb_df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    return emb_df.select(
+        F.col(id_col).alias("id"), TH.emb_scaled(F.col(vec_col), dim).alias("v")
+    ).withColumn("norm2", TH.int_dot(F.col("v"), F.col("v")))
+
+
+def _cos_ppm() -> F.Column:
+    return F.floor(
+        F.lit(1e6)
+        * F.col("dot")
+        / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double"))
+    ).cast("bigint")
+
+
+def ann_topk(
+    emb_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    query_mod: int = 50,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the deterministic query subset
+    (vec_id % query_mod == 0) against all vectors (self excluded).
+
+    Output: (query_id, neighbor_id, rank, cos_ppm)."""
+    base = _scaled(emb_df, id_col, vec_col, dim)
+    q = base.filter(F.col("id") % query_mod == 0).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("norm2").alias("qn2")
+    )
+    c = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm2").alias("cn2"),
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("dot", TH.int_dot(F.col("qv"), F.col("cv"))).withColumn(
+        "cos_ppm", _cos_ppm()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_ppm")
+    )
+
+
+def ann_lsh_topk(
+    emb_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    query_mod: int = 50,
+    n_planes: int = 8,
+) -> DataFrame:
+    """SRP-LSH approximate top-k: candidates share the query's bucket."""
+    planes = TH.srp_planes(n_planes, dim)
+    base = _scaled(emb_df, id_col, vec_col, dim).withColumn(
+        "bucket", TH.srp_bucket(F.col("v"), planes)
+    )
+    q = base.filter(F.col("id") % query_mod == 0).select(
+        F.col("bucket"),
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm2").alias("qn2"),
+    )
+    c = base.select(
+        F.col("bucket"),
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm2").alias("cn2"),
+    )
+    pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("dot", TH.int_dot(F.col("qv"), F.col("cv"))).withColumn(
+        "cos_ppm", _cos_ppm()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_ppm")
+    )

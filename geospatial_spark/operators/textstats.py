@@ -1,0 +1,122 @@
+"""Text-analysis operators over the ``documents`` corpus: language ID,
+quality scoring, token counting, and winnowing document fingerprints.
+
+All pure JVM relational plans (no Python UDF) with exact DuckDB oracles in
+``sources.oracle_text`` — ratios are emitted as ``floor(1e6 * a / b)`` ppm
+ints (exact-int numerators/denominators, deterministic IEEE division) so the
+driver's value-hash compare is float-safe.
+
+Scale notes: every operator is a map-side explode + one partial-aggregatable
+groupBy keyed on doc_id (well distributed, no skew); the winnowing window
+function sorts within doc_id partitions only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+
+# tiny per-language marker lists (n-gram-heuristic language ID; the operator
+# contract is deterministic scoring, not linguistic accuracy — the corpus is
+# synthetic).  Single source of truth for Spark and oracle SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+    "zh": ("de", "shi", "bu", "le", "wo", "ni"),
+}
+
+
+def marker_rows() -> list[tuple[str, str]]:
+    return [(w, lang) for lang, ws in LANG_MARKERS.items() for w in ws]
+
+
+def lang_id(
+    docs: DataFrame, spark: SparkSession, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language ID: argmax marker hits, ties → lang asc, no hits
+    → 'und'.  Output (id, pred_lang, hits)."""
+    markers = spark.createDataFrame(marker_rows(), "t string, m_lang string")
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(TH.tokens(F.col(text_col))).alias("t")
+    )
+    hits = (
+        tok.join(F.broadcast(markers), "t")
+        .groupBy("id", "m_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("hits").desc(), F.col("m_lang").asc())
+    best = hits.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(best, "id", "left").select(
+        "id",
+        F.coalesce(F.col("m_lang"), F.lit("und")).alias("pred_lang"),
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+    )
+
+
+def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + combined score.
+
+    Columns: n_chars, n_ws_tokens (whitespace split), n_bpe_tokens (BPE-ish
+    regex), uniq_tokens, avg_tok_len_ppm, uniq_ratio_ppm, quality_ppm.
+    """
+    t = TH.tokens(F.col(text_col))
+    bpe = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), F.lit(0)
+    )
+    n_tok = F.size(t)
+    uniq = F.size(F.array_distinct(t))
+    tok_chars = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    safe_ntok = F.greatest(n_tok, F.lit(1))
+    uniq_ratio = F.floor(F.lit(1e6) * uniq / safe_ntok).cast("bigint")
+    avg_len = F.floor(F.lit(1e6) * tok_chars / safe_ntok).cast("bigint")
+    quality = F.floor(
+        F.lit(1e6)
+        * (
+            F.lit(0.5) * uniq / safe_ntok
+            + F.lit(0.5) * F.least(n_tok, F.lit(200)) / F.lit(200.0)
+        )
+    ).cast("bigint")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        uniq.cast("bigint").alias("uniq_tokens"),
+        avg_len.alias("avg_tok_len_ppm"),
+        uniq_ratio.alias("uniq_ratio_ppm"),
+        quality.alias("quality_ppm"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+) -> DataFrame:
+    """Winnowing fingerprint: k-char-gram hashes, min per sliding window of
+    `window` grams, distinct minima per doc.  Output (id, n_fp, fp_xor) —
+    the xor-fold pins the exact fingerprint set for the oracle compare."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(TH.char_shingles_h(F.col(text_col), k)).alias("pos", "h"),
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    mins = grams.select("id", F.min("h").over(w).alias("fp")).distinct()
+    return mins.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.expr("bit_xor(fp)").alias("fp_xor"),
+    )

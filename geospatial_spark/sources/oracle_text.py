@@ -1,0 +1,242 @@
+"""DuckDB oracle SQL for the dedup / similarity / text-analysis operators.
+
+Mirrors operators/dedup.py, operators/similarity.py and operators/textstats.py
+expression-for-expression from the shared constants in functions/texthash.py
+— the driver runs these side-by-side with the Spark plans at sf0.01 and
+compares sorted value hashes.
+"""
+
+from __future__ import annotations
+
+from ..functions import texthash as TH
+from . import oracle as geo_sql
+
+
+def _with_pages(select_sql: str) -> str:
+    """Prefix the gaz/pages derivation CTEs (corpus = derived pages table)."""
+    return (
+        "WITH " + ",\n".join([geo_sql.gaz_cte(), geo_sql.pages_cte()]) + ",\n" + select_sql
+    )
+
+
+def dedup_exact_sql() -> str:
+    return _with_pages(
+        "g AS (SELECT sha256(text) AS text_sha, count(*) AS n_copies, min(url) AS keeper "
+        "FROM pages GROUP BY 1)\n"
+        "SELECT text_sha, n_copies, keeper FROM g WHERE n_copies > 1"
+    )
+
+
+def _shingle_ctes() -> str:
+    sh = TH.word_shingles_sql("text")
+    mins = ", ".join(TH.minhash_min_aggs_sql("h"))
+    keys = ", ".join(TH.band_key_sql(b) for b in range(TH.MINHASH_BANDS))
+    bands_union = "\nUNION ALL ".join(
+        f"SELECT id, {b} AS band, bk{b} AS key FROM keys" for b in range(TH.MINHASH_BANDS)
+    )
+    return f"""shr AS (SELECT url AS id, unnest({sh}) AS s FROM pages),
+shh AS (SELECT DISTINCT id, {TH.h60_sql('s')} AS h FROM shr),
+sigs AS (SELECT id, {mins} FROM shh GROUP BY id),
+keys AS (SELECT id, {keys} FROM sigs),
+bands AS ({bands_union}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
+         JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+sizes AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter FROM cand c
+          JOIN shh sa ON sa.id = c.id_a JOIN shh sb ON sb.id = c.id_b AND sb.h = sa.h
+          GROUP BY 1, 2)"""
+
+
+def dedup_minhash_sql(threshold_ppm: int = 700_000) -> str:
+    return _with_pages(
+        _shingle_ctes()
+        + f""",
+jac AS (SELECT i.id_a, i.id_b, i.inter, na.n + nb.n - i.inter AS uni,
+               CAST(floor(1e6 * i.inter / (na.n + nb.n - i.inter)) AS BIGINT) AS jac_ppm
+        FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b)
+SELECT id_a, id_b, inter, uni, jac_ppm FROM jac WHERE jac_ppm >= {threshold_ppm}"""
+    )
+
+
+def dedup_simhash_sql(max_hamming: int = 3) -> str:
+    bits = ", ".join(TH.simhash_bit_aggs_sql("h"))
+    bands_union = "\nUNION ALL ".join(
+        f"SELECT id, simhash, {k} AS band, "
+        f"(simhash >> {k * TH.SIMHASH_BAND_BITS}) & {(1 << TH.SIMHASH_BAND_BITS) - 1} AS key "
+        "FROM st"
+        for k in range(TH.SIMHASH_BANDS)
+    )
+    return _with_pages(
+        f"""tok AS (SELECT DISTINCT url AS id, unnest({TH.tokens_sql('text')}) AS t FROM pages),
+tokh AS (SELECT id, {TH.h60_sql('t')} AS h FROM tok),
+bits AS (SELECT id, {bits} FROM tokh GROUP BY id),
+st AS (SELECT id, {TH.simhash_from_bits_sql()} AS simhash FROM bits),
+bands AS ({bands_union}),
+pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming FROM pairs
+WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
+    )
+
+
+def dedup_ngram_sql(
+    k: int = 4, prefix: int = 40, threshold_ppm: int = 800_000
+) -> str:
+    csh = TH.char_shingles_h_sql("text", k)
+    return _with_pages(
+        f"""raw AS (SELECT url AS id, md5(substr(text, 1, {prefix})) AS blk,
+                unnest({csh}) AS h FROM pages),
+base AS (SELECT DISTINCT id, blk, h FROM raw),
+sizes AS (SELECT id, blk, count(*) AS n FROM base GROUP BY 1, 2),
+cand AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb
+         FROM sizes a JOIN sizes b ON a.blk = b.blk AND a.id < b.id),
+inter AS (SELECT c.id_a, c.id_b, c.na, c.nb, count(*) AS inter
+          FROM cand c JOIN base sa ON sa.id = c.id_a JOIN base sb ON sb.id = c.id_b AND sb.h = sa.h
+          GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(floor(1e6 * inter / (na + nb - inter)) AS BIGINT) AS jac_ppm
+FROM inter WHERE CAST(floor(1e6 * inter / (na + nb - inter)) AS BIGINT) >= {threshold_ppm}"""
+    )
+
+
+def dedup_embed_sql(
+    dim: int = 64, n_planes: int = 8, threshold_ppm: int = 300_000
+) -> str:
+    planes = TH.srp_planes(n_planes, dim)
+    scaled = TH.emb_scaled_sql("embedding")
+    bucket = TH.srp_bucket_sql("v", planes)
+    dot = TH.int_dot_sql("a.v", "b.v", dim)
+    norm = TH.int_dot_sql("v", "v", dim)
+    return f"""WITH base AS (
+  SELECT vec_id AS id, {scaled} AS v FROM embeddings
+),
+bk AS (SELECT id, v, {bucket} AS bucket, {norm} AS norm2 FROM base),
+pairs AS (SELECT a.id AS id_a, b.id AS id_b, {dot} AS dot,
+                 a.norm2 AS na2, b.norm2 AS nb2
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b,
+       CAST(floor(1e6 * dot / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))) AS BIGINT) AS cos_ppm
+FROM pairs
+WHERE CAST(floor(1e6 * dot / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))) AS BIGINT) >= {threshold_ppm}"""
+
+
+# ---------------------------------------------------------------------------
+# similarity (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _ann_ctes(n_planes: int | None, dim: int) -> str:
+    scaled = TH.emb_scaled_sql("embedding")
+    norm = TH.int_dot_sql("v", "v", dim)
+    bucket = (
+        f", {TH.srp_bucket_sql('v', TH.srp_planes(n_planes, dim))} AS bucket"
+        if n_planes
+        else ""
+    )
+    return f"""base AS (SELECT vec_id AS id, {scaled} AS v FROM embeddings),
+bk AS (SELECT id, v, {norm} AS norm2{bucket} FROM base)"""
+
+
+def _ann_select(k: int, query_mod: int, join_on_bucket: bool, dim: int) -> str:
+    dot = TH.int_dot_sql("q.v", "c.v", dim)
+    on = "q.bucket = c.bucket AND " if join_on_bucket else ""
+    return f""",
+pairs AS (SELECT q.id AS query_id, c.id AS neighbor_id, {dot} AS dot,
+                 q.norm2 AS qn2, c.norm2 AS cn2
+          FROM (SELECT * FROM bk WHERE id % {query_mod} = 0) q
+          JOIN bk c ON {on}q.id <> c.id),
+scored AS (SELECT query_id, neighbor_id,
+       CAST(floor(1e6 * dot / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE))) AS BIGINT) AS cos_ppm
+       FROM pairs),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_ppm DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_ppm FROM ranked WHERE rank <= {k}"""
+
+
+def ann_topk_sql(dim: int = 64, k: int = 10, query_mod: int = 50) -> str:
+    return "WITH " + _ann_ctes(None, dim) + _ann_select(k, query_mod, False, dim)
+
+
+def ann_lsh_topk_sql(
+    dim: int = 64, k: int = 10, query_mod: int = 50, n_planes: int = 8
+) -> str:
+    return "WITH " + _ann_ctes(n_planes, dim) + _ann_select(k, query_mod, True, dim)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+
+def lang_id_sql() -> str:
+    from ..operators.textstats import marker_rows
+
+    vals = ", ".join(f"('{w}', '{lang}')" for w, lang in marker_rows())
+    return f"""WITH markers(t, m_lang) AS (VALUES {vals}),
+tok AS (SELECT doc_id AS id, unnest({TH.tokens_sql('text')}) AS t FROM documents),
+hits AS (SELECT tok.id, m.m_lang, count(*) AS hits FROM tok JOIN markers m ON m.t = tok.t
+         GROUP BY 1, 2),
+best AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY hits DESC, m_lang ASC) AS rk
+         FROM hits)
+SELECT d.doc_id AS id, coalesce(b.m_lang, 'und') AS pred_lang,
+       coalesce(b.hits, 0) AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.id = d.doc_id"""
+
+
+def text_quality_sql() -> str:
+    t = TH.tokens_sql("text")
+    return f"""WITH base AS (
+  SELECT doc_id AS id, text, {t} AS tok,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS bpe
+  FROM documents
+),
+feat AS (
+  SELECT id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+    CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+    CAST(len(list_distinct(tok)) AS BIGINT) AS uniq_tokens,
+    coalesce(list_sum(list_transform(tok, x -> CAST(length(x) AS BIGINT))), 0) AS tok_chars,
+    greatest(len(tok), 1) AS safe_ntok,
+    len(tok) AS n_tok
+  FROM base
+)
+SELECT id, n_chars, n_ws_tokens, n_bpe_tokens, uniq_tokens,
+  CAST(floor(1e6 * tok_chars / safe_ntok) AS BIGINT) AS avg_tok_len_ppm,
+  CAST(floor(1e6 * uniq_tokens / safe_ntok) AS BIGINT) AS uniq_ratio_ppm,
+  CAST(floor(1e6 * (0.5 * uniq_tokens / safe_ntok + 0.5 * least(n_tok, 200) / 200.0)) AS BIGINT) AS quality_ppm
+FROM feat"""
+
+
+def doc_fingerprint_sql(k: int = 8, window: int = 16) -> str:
+    n = f"greatest(1, length(text) - {k - 2})"
+    h = TH.h60_sql(f"substr(text, i, {k})")
+    return f"""WITH grams AS (
+  SELECT doc_id AS id,
+         unnest(range(1, {n})) AS pos,
+         unnest(list_transform(range(1, {n}), i -> {h})) AS h
+  FROM documents
+),
+mins AS (SELECT DISTINCT id, min(h) OVER (PARTITION BY id ORDER BY pos ASC
+         ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp FROM grams)
+SELECT id, count(*) AS n_fp, bit_xor(fp) AS fp_xor FROM mins GROUP BY id"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal features (operators/media.py)
+# ---------------------------------------------------------------------------
+
+
+def media_features_sql(frame_stride: int = 64) -> str:
+    f = lambda j: f"CAST(concat('0x', substr(md5(s), {1 + 8 * j}, 8)) AS BIGINT)"
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+         ELSE 'video' END AS kind, text
+  FROM documents
+),
+p AS (SELECT media_id, kind, 'MEDIA:' || kind || ':' || text AS s FROM m)
+SELECT media_id, kind,
+  CAST(octet_length(encode(s)) AS BIGINT) AS byte_len,
+  CAST(octet_length(encode(s)) // {frame_stride} + 1 AS BIGINT) AS n_frames,
+  {f(0)} AS f0, {f(1)} AS f1, {f(2)} AS f2, {f(3)} AS f3
+FROM p"""

@@ -1,0 +1,96 @@
+"""Resume semantics (north rule N6): a killed partitioned write resumes from
+the last committed partition — no recompute of committed partitions, final
+output identical to an uninterrupted run."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_spark.icelite import catalog as ice
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def _src(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("key", F.col("doc_id"))
+    )
+
+
+def test_kill_and_resume(spark, workdir):
+    df = _src(spark)
+
+    # uninterrupted reference run
+    ice.write_partitioned(
+        df, workdir, "ref", stage="s1", key_col="key", n_partitions=8, batch_size=2
+    )
+    ref = ice.read_table(spark, workdir, "ref")
+    ref_rows = sorted(ref.collect(), key=lambda r: r["doc_id"])
+
+    # killed run: crashes after committing 2 of 4 batches
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ice.write_partitioned(
+            df,
+            workdir,
+            "t",
+            stage="s1",
+            key_col="key",
+            n_partitions=8,
+            batch_size=2,
+            fail_after_batches=2,
+        )
+    committed_before = ice.committed_partitions(workdir, "t")
+    assert len(committed_before) == 4  # 2 batches x 2 partitions
+    man_v_before = ice.current_manifest(workdir, "t")["version"]
+
+    # resume: only the remaining partitions are processed
+    man = ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=8, batch_size=2
+    )
+    assert ice.committed_partitions(workdir, "t") == set(range(8))
+    # committed partitions were NOT rewritten: their lineage rows are unchanged
+    by_pid = {r["partition_id"]: r for r in man["partitions"]}
+    assert len(man["partitions"]) == 8  # no duplicate commits
+    for p in committed_before:
+        assert by_pid[p]["committed_at"] < man["partitions"][-1]["committed_at"]
+    assert man["version"] == man_v_before + 2  # exactly 2 more batch commits
+
+    # final output identical to the uninterrupted run
+    got = sorted(
+        ice.read_table(spark, workdir, "t").collect(), key=lambda r: r["doc_id"]
+    )
+    assert got == ref_rows
+
+    # lineage table: checksums match the reference run partition-for-partition
+    lin_ref = {
+        r["partition_id"]: (r["row_count"], r["checksum"])
+        for r in ice.lineage(spark, workdir, "ref").collect()
+    }
+    lin_t = {
+        r["partition_id"]: (r["row_count"], r["checksum"])
+        for r in ice.lineage(spark, workdir, "t").collect()
+    }
+    assert lin_ref == lin_t
+
+
+def test_rerun_is_noop(spark, workdir):
+    df = _src(spark)
+    man1 = ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=4, batch_size=4
+    )
+    man2 = ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=4, batch_size=4
+    )
+    assert man2["version"] == man1["version"]  # nothing to do → no new snapshot
+    assert len(man2["partitions"]) == 4
