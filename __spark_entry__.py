@@ -136,6 +136,134 @@ def _q_haversine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cell-kernel / geometry operator queries (G1-G5, U1, K1, O2, N2, N3)
+# ---------------------------------------------------------------------------
+
+
+def _q_polyfill_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 polycell over the 64 region polygons at geohash precision 4 —
+    per-region covering-cell counts (oracle: closed-form quantized-grid
+    count, exact for rectangles)."""
+    return (
+        pj.polygon_cells(src.regions(spark), "region_id", 4)
+        .groupBy("region_id")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+
+
+def _q_cell_bboxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 cellpoly: points → geohash-5 cell → boundary bbox (UDF decode),
+    grouped.  Oracle recomputes the same bbox from raw lat/lon quantization
+    (exact dyadic cell widths → bit-identical doubles)."""
+    pts = _points(spark, sf_dir)
+    enc = udfs.geohash_encode_udf(5)
+    bb = udfs.geohash_bbox_wkb_udf()
+    return (
+        pts.withColumn("__cell", enc(F.col("lat"), F.col("lon")))
+        .withColumn("__bb", bb(F.col("__cell")))
+        .select("__bb.*")
+        .groupBy("minx", "miny", "maxx", "maxy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 kNN via cell-ring expansion (geohash p2, ring 3) — oracle mirrors
+    the ring semantics as a quantized-grid Chebyshev join + window rank."""
+    pts = _points(spark, sf_dir).select("url", "entity", "lat", "lon").distinct()
+    gaz = src.gazetteer(spark).select("name", "lat", "lon")
+    out = knn_ops.knn_join_cellring(pts, gaz, k=5, precision=2, max_ring=3)
+    return out.select(
+        "url", "entity", "neighbor_name", "rank", F.round("dist_m", 3).alias("dist_m")
+    )
+
+
+def _q_color_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 color_map: deterministic categorical color per entity (exact
+    reference semantics: int(cleaned, 36) % 24 via closed form)."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("color_idx", udfs.color_idx_col(F.col("entity")))
+        .withColumn("color_hex", udfs.color_hex_from_idx(F.col("color_idx")))
+        .select("entity", "color_idx", "color_hex", "n")
+    )
+
+
+def _routes_df(spark: SparkSession) -> DataFrame:
+    from geospatial_spark.geo import polyline as pl
+
+    rows = C.gazetteer_rows()
+    trajs: dict[int, list] = {}
+    for i, _, lat, lon, _ in rows:
+        trajs.setdefault(i // 10, []).append((lon, lat))
+    enc = [(t, pl.encode(coords)) for t, coords in sorted(trajs.items())]
+    return spark.createDataFrame(enc, "traj_id bigint, polyline string")
+
+
+def _q_polyline_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 polyline decode + U7 line→points explode: encoded gazetteer
+    trajectories → (traj_id, seq, lon_e6, lat_e6) exact ints."""
+    dec = udfs.polyline_decode_udf()
+    return (
+        _routes_df(spark)
+        .withColumn("__pts", dec(F.col("polyline")))
+        .select("traj_id", F.posexplode("__pts").alias("seq", "__p"))
+        .select(
+            "traj_id",
+            F.col("seq").cast("int").alias("seq"),
+            F.col("__p.lon_e6").alias("lon_e6"),
+            F.col("__p.lat_e6").alias("lat_e6"),
+        )
+    )
+
+
+def _q_geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 geom_stats over region WKB (shape columns oracle-checked; UTM
+    area/perimeter golden-tested in tests/test_geo_kernels.py)."""
+    stats = udfs.geom_stats_udf("m")
+    return src.regions(spark).select(
+        "region_id", stats(F.col("geometry")).alias("__s")
+    ).select("region_id", "__s.n_shells", "__s.n_holes", "__s.n_points")
+
+
+def _q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule tile output (z, x, y, s2_cell, n) — rows-only check (S2
+    ids are validated by kernel unit tests, not SQL-expressible)."""
+    return tiling.tile_cell_assignments(_points(spark, sf_dir), z=12, s2_level=12)
+
+
+def _q_compact_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 distributed compaction of the union of region covers at geohash
+    p5 → cells per resulting resolution (rows-only; oracle = local numpy
+    kernel in unit tests)."""
+    from geospatial_spark.operators import compact as cmp_ops
+
+    cells = pj.polygon_cells(src.regions(spark), "region_id", 5).select("cell")
+    compacted = cmp_ops.compact_geohash_df(cells)
+    return (
+        compacted.groupBy(F.length("cell").alias("res"))
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+
+
+def _q_vincenty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 vincenty (iterative geodesic, pandas UDF) — km buckets to London;
+    rows-only (not closed-form SQL-expressible)."""
+    pts = _points(spark, sf_dir)
+    lond = [m for m in C.MEGACITIES if m[0] == "London"][0]
+    d = udfs.vincenty_udf(
+        F.col("lat"), F.col("lon"), F.lit(float(lond[1])), F.lit(float(lond[2]))
+    )
+    return (
+        pts.select((F.floor(d / 1000.0)).cast("long").alias("km_bucket"))
+        .groupBy("km_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline ops (dedup / similarity / text analysis / multimodal)
 # ---------------------------------------------------------------------------
 
@@ -208,6 +336,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_k5": _q_knn,
         "utm_zone": _q_utm_zone,
         "haversine_buckets": _q_haversine_buckets,
+        "polyfill_regions": _q_polyfill_regions,
+        "cell_bboxes": _q_cell_bboxes,
+        "knn_cellring": _q_knn_cellring,
+        "color_map": _q_color_map,
+        "polyline_routes": _q_polyline_routes,
+        "geom_stats": _q_geom_stats,
+        "s2_tiles": _q_s2_tiles,
+        "compact_regions": _q_compact_regions,
+        "vincenty_buckets": _q_vincenty_buckets,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -221,6 +358,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
     }
+
+
+_B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def _quant_sql(coord: str, lo: float, span: float, cells: int) -> str:
+    """The geohash quantizer (geo/geohash.py:quantize) as SQL: floor + clip."""
+    return (
+        f"least({cells - 1}, greatest(0, "
+        f"CAST(floor((({coord}) + {lo!r}) / {span!r} * {float(cells)!r}) AS BIGINT)))"
+    )
+
+
+def _color_idx_sql(expr: str) -> str:
+    cl = f"lower(regexp_replace({expr}, '[\\W_]', '', 'g'))"
+    dig = (
+        lambda ch: f"(CASE WHEN ascii({ch}) <= 57 THEN ascii({ch}) - 48 "
+        f"ELSE ascii({ch}) - 87 END)"
+    )
+    last = dig(f"substr({cl}, length({cl}), 1)")
+    second = (
+        f"CASE WHEN length({cl}) >= 2 THEN {dig(f'substr({cl}, length({cl}) - 1, 1)')} "
+        "ELSE 0 END"
+    )
+    return (
+        f"CASE WHEN length({cl}) = 0 THEN 0 ELSE "
+        f"(({last}) + 12 * ({second})) % 24 END"
+    )
+
+
+def _palette_case_sql(idx_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(udfs.COLOR_PALETTE)
+    )
+    return f"CASE ({idx_expr}) {whens} END"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -267,6 +439,55 @@ def oracle_sql() -> dict[str, str]:
         "haversine_buckets": G(
             f"SELECT CAST(floor(({d_london}) / 1000.0) AS BIGINT) AS km_bucket, count(*) AS n "
             "FROM points p GROUP BY 1"
+        ),
+        "polyfill_regions": G(
+            "SELECT region_id, "
+            f"({_quant_sql('maxx', 180.0, 360.0, 1024)} - {_quant_sql('minx', 180.0, 360.0, 1024)} + 1) * "
+            f"({_quant_sql('maxy', 90.0, 180.0, 1024)} - {_quant_sql('miny', 90.0, 180.0, 1024)} + 1) "
+            "AS n_cells FROM regions"
+        ),
+        "cell_bboxes": G(
+            f""", q AS (SELECT {_quant_sql('lon', 180.0, 360.0, 8192)} AS qx,
+                  {_quant_sql('lat', 90.0, 180.0, 4096)} AS qy FROM points),
+b AS (SELECT qx * (360.0 / 8192.0) - 180.0 AS minx,
+             qy * (180.0 / 4096.0) - 90.0 AS miny FROM q),
+b2 AS (SELECT minx, miny, minx + (360.0 / 8192.0) AS maxx,
+              miny + (180.0 / 4096.0) AS maxy FROM b)
+SELECT minx, miny, maxx, maxy, count(*) AS n FROM b2 GROUP BY 1, 2, 3, 4"""
+        ),
+        "knn_cellring": G(
+            f""", dp AS (SELECT DISTINCT url, entity, lat, lon FROM points),
+qp AS (SELECT url, entity, lat, lon,
+       {_quant_sql('lon', 180.0, 360.0, 32)} AS qx,
+       {_quant_sql('lat', 90.0, 180.0, 32)} AS qy FROM dp),
+gq AS (SELECT name, lat AS glat, lon AS glon,
+       {_quant_sql('lon', 180.0, 360.0, 32)} AS qx,
+       {_quant_sql('lat', 90.0, 180.0, 32)} AS qy FROM gaz),
+cand AS (SELECT p.url, p.entity, p.lat, p.lon, g.name, g.glat, g.glon
+         FROM qp p JOIN gq g
+         ON least(abs(p.qx - g.qx), 32 - abs(p.qx - g.qx)) <= 3
+            AND abs(p.qy - g.qy) <= 3),
+scored AS (SELECT url, entity, name AS neighbor_name,
+    {hav.format(lat1='lat', lon1='lon', lat2='glat', lon2='glon')} AS dist_m
+    FROM cand),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY url, entity
+           ORDER BY dist_m ASC, neighbor_name ASC) AS rank FROM scored)
+SELECT url, entity, neighbor_name, CAST(rank AS INT) AS rank,
+       round(dist_m, 3) AS dist_m FROM ranked WHERE rank <= 5"""
+        ),
+        "color_map": G(
+            f""", e AS (SELECT entity, count(*) AS n FROM points GROUP BY 1),
+e2 AS (SELECT entity, {_color_idx_sql('entity')} AS color_idx, n FROM e)
+SELECT entity, color_idx, {_palette_case_sql('color_idx')} AS color_hex, n FROM e2"""
+        ),
+        "polyline_routes": G(
+            "SELECT i // 10 AS traj_id, CAST(i % 10 AS INT) AS seq, "
+            "CAST(lon * 1e6 AS BIGINT) AS lon_e6, CAST(lat * 1e6 AS BIGINT) AS lat_e6 "
+            "FROM gaz"
+        ),
+        "geom_stats": G(
+            "SELECT region_id, CAST(1 AS INT) AS n_shells, CAST(0 AS INT) AS n_holes, "
+            "CAST(5 AS INT) AS n_points FROM regions"
         ),
         "dedup_exact": otxt.dedup_exact_sql(),
         "dedup_minhash": otxt.dedup_minhash_sql(),

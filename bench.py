@@ -75,6 +75,9 @@ def main() -> None:
         "ann_topk",
         "text_quality",
         "lang_id",
+        "polyfill_regions",
+        "knn_cellring",
+        "media_features",
     ]
 
     timings: dict[str, float] = {}

@@ -265,9 +265,99 @@ def utm_epsg_col(lat: Column, lon: Column) -> Column:
     return (F.when(lat >= 0, 32600).otherwise(32700) + utm_zone_col(lon)).cast("int")
 
 
-def color_map_col(col: Column) -> Column:
-    """K1 (karta.py:97-102): int → i%24; string → base-36 of alnum-stripped
-    prefix, % 24.  JVM-native via conv()."""
-    cleaned = F.regexp_replace(col.cast("string"), r"[\W_]", "")
-    as_int = F.conv(F.substring(F.upper(cleaned), 1, 12), 36, 10).cast("decimal(38,0)")
-    return (as_int % 24).cast("int")
+
+
+# --------------------------------------------------------------------------
+# geom_stats (U1), polyline decode (O2), color_map (K1 exact)
+# --------------------------------------------------------------------------
+
+
+def geom_stats_udf(unit: str = "m"):
+    """U1 (gutils.py:18-86): WKB → (n_shells, n_holes, n_points, area,
+    border) in the geometry's own UTM zone, numpy transverse-Mercator."""
+
+    @pandas_udf(
+        "n_shells int, n_holes int, n_points int, area double, border double"
+    )
+    def _stats(wkb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in wkb:
+            if buf is None:
+                rows.append((None, None, None, None, None))
+                continue
+            rows.append(gm.geom_stats(gm.parse_wkb(bytes(buf)), unit))
+        return pd.DataFrame(
+            rows, columns=["n_shells", "n_holes", "n_points", "area", "border"]
+        )
+
+    return _stats
+
+
+def polyline_decode_udf():
+    """O2 (osm.py:111-163): encoded polyline → array<struct<lon_e6,lat_e6>>
+    exact ints (varint accumulators; float-free for the oracle compare)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = ArrayType(
+        StructType(
+            [StructField("lon_e6", LongType()), StructField("lat_e6", LongType())]
+        )
+    )
+
+    @pandas_udf(schema)
+    def _dec(enc: pd.Series) -> pd.Series:
+        from ..geo import polyline as pl
+
+        out = []
+        for e in enc:
+            if e is None:
+                out.append(None)
+            else:
+                out.append(
+                    [{"lon_e6": a, "lat_e6": b} for a, b in pl.decode_int(str(e))]
+                )
+        return pd.Series(out)
+
+    return _dec
+
+
+_B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def color_idx_col(col: Column) -> Column:
+    """K1 (karta.py:97-102) exact: int → i % 24; string → int(cleaned, 36)
+    % 24 via the closed form (36 ≡ 12, 36² ≡ 0 (mod 24) ⇒ only the last two
+    base-36 digits matter) — JVM-only, DuckDB-mirrorable."""
+    cleaned = F.lower(F.regexp_replace(col.cast("string"), r"[\W_]", ""))
+    n = F.length(cleaned)
+    last = cleaned.substr(n, F.lit(1))
+    second = F.when(n >= 2, cleaned.substr(n - 1, F.lit(1))).otherwise(F.lit("0"))
+
+    def _digit(ch_col: Column) -> Column:
+        # base-36 digit via ascii arithmetic ('0'-'9' → 0-9, 'a'-'z' → 10-35)
+        a = F.ascii(ch_col)
+        return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+    return F.when(n == 0, F.lit(0)).otherwise(
+        (_digit(last) + F.lit(12) * _digit(second)) % 24
+    )
+
+
+# the reference's exact 24-color palette, in order (karta.py:53-94; NB its
+# docstring example color_map(5)='#3cb44b' contradicts the shipped list —
+# executed code gives palettet[5]='#000080'; we match the code)
+COLOR_PALETTE = [
+    "#e6194b", "#4363d8", "#3cb44b", "#800000", "#008080", "#000080",
+    "#f58231", "#911eb4", "#808000", "#9a6324", "#f032e6", "#dfb119",
+    "#42d4f4", "#808080", "#e12348", "#dc2c46", "#d73644", "#cd4a40",
+    "#c8543e", "#c25e3c", "#bd683a", "#b77238", "#b27c36", "#ad8634",
+]
+
+
+def color_hex_from_idx(idx: Column) -> Column:
+    """K1 end-to-end: palette index column → hex string (apply to an
+    already-materialized color_idx column to keep codegen small)."""
+    expr = F.lit(COLOR_PALETTE[0])
+    for i, c in enumerate(COLOR_PALETTE):
+        expr = F.when(idx == i, F.lit(c)).otherwise(expr)
+    return expr

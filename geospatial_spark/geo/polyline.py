@@ -66,3 +66,30 @@ def encode(coords, precision: int = 6) -> str:
             out.append(chr(d + 63))
         prev_lat, prev_lon = ilat, ilon
     return "".join(out)
+
+
+def decode_int(encoded: str) -> list[tuple[int, int]]:
+    """Decode one polyline string → [(lon_e6, lat_e6), ...] exact ints (the
+    varint accumulators themselves — float-free, oracle-friendly)."""
+    coords: list[tuple[int, int]] = []
+    lat = lon = 0
+    idx = 0
+    n = len(encoded)
+    while idx < n:
+        for is_lon in (False, True):
+            shift = 0
+            result = 0
+            while True:
+                b = ord(encoded[idx]) - 63
+                idx += 1
+                result |= (b & 0x1F) << shift
+                shift += 5
+                if b < 0x20:
+                    break
+            delta = ~(result >> 1) if result & 1 else result >> 1
+            if is_lon:
+                lon += delta
+            else:
+                lat += delta
+        coords.append((lon, lat))
+    return coords

@@ -1,0 +1,51 @@
+"""JVM Column-helper goldens: color_map (K1 exact reference semantics),
+UTM zone, tile math — checked against independently computed values."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from geospatial_spark.functions import udfs
+
+
+def _ref_color_idx(s: str) -> int:
+    # the reference's executed semantics (karta.py:100-102): strip, base-36
+    return int(re.sub(r"[\W_]+", "", s), 36) % 24
+
+
+def test_color_idx_matches_reference_semantics(spark):
+    samples = ["Category1", "Example", "London", "city_042", "Tokyo", "a", "Z9"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: (r["idx"], r["hex"])
+        for r in df.select(
+            "s", udfs.color_idx_col(F.col("s")).alias("idx")
+        )
+        .withColumn("hex", udfs.color_hex_from_idx(F.col("idx")))
+        .collect()
+    }
+    for s in samples:
+        want = _ref_color_idx(s)
+        assert got[s][0] == want, s
+        assert got[s][1] == udfs.COLOR_PALETTE[want], s
+
+
+def test_utm_epsg_golden(spark):
+    # gutils.py:117-120: polygon near (-120.5, 35.5) → EPSG:32610
+    df = spark.createDataFrame([(35.5, -120.5)], "lat double, lon double")
+    got = df.select(
+        udfs.utm_epsg_col(F.col("lat"), F.col("lon")).alias("e")
+    ).collect()[0]["e"]
+    assert got == 32610
+
+
+def test_tile_golden(spark):
+    # Paris z12 == (2074, 1409) (public OSM slippy-map fact)
+    df = spark.createDataFrame([(48.8566, 2.3522)], "lat double, lon double")
+    r = df.select(
+        udfs.tile_x_col(F.col("lon"), 12).alias("x"),
+        udfs.tile_y_col(F.col("lat"), 12).alias("y"),
+    ).collect()[0]
+    assert (r["x"], r["y"]) == (2074, 1409)
