@@ -100,13 +100,16 @@ def main() -> None:
         if timings.get("pip_join")
         else None
     )
+    # tile throughput = point→tile assignments processed (input points ×
+    # zoom levels), not distinct output tiles
+    n_points = rowcounts.get("extract_geocode", 0)
     tile_aps = (
         round(
-            (rowcounts.get("tiles_z8", 0) + rowcounts.get("tiles_z12", 0))
+            (2 * n_points)
             / max(timings.get("tiles_z8", 0) + timings.get("tiles_z12", 0), 1e-9),
             1,
         )
-        if "tiles_z8" in timings
+        if "tiles_z8" in timings and n_points
         else None
     )
 

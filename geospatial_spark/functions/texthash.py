@@ -71,20 +71,6 @@ def tokens(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), F.lit(0))
 
 
-def word_shingles(col: Column, n: int = SHINGLE_N) -> Column:
-    """Overlapping n-word shingles; empty array when < n tokens.
-
-    (Guarded with when(): Spark's sequence(1, size-n+1) would run DESCENDING
-    for short docs — DuckDB's range() is empty there.)
-    """
-    t = tokens(col)
-    starts = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
-    mk = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
-    return F.when(F.size(t) >= n, F.transform(starts, mk)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def char_shingles_h(col: Column, k: int) -> Column:
     """Hashes of overlapping k-char shingles (array<bigint>); empty if short."""
     starts = F.sequence(F.lit(1), F.length(col) - F.lit(k - 1))

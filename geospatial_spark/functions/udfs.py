@@ -161,6 +161,36 @@ def s2_polyfill_udf(level: int, mode: str = "intersects"):
 # --------------------------------------------------------------------------
 
 
+def pip_refine_wkb_udf():
+    """Exact PIP where the polygon WKB rides in the candidate row (shuffle
+    / large-large mode: no driver collect, no closure dict — the geometry
+    arrives via the cell equi-join).  Parsed geometries are memoized per
+    executor keyed by the WKB bytes."""
+    cache: dict[bytes, gm.Geometry] = {}
+
+    @pandas_udf(BooleanType())
+    def _pip(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lon_np = lon.to_numpy()
+        lat_np = lat.to_numpy()
+        out = np.zeros(len(wkb), dtype=bool)
+        bufs = wkb.to_numpy(dtype=object)
+        keys = np.array([bytes(b) if b is not None else b"" for b in bufs], dtype=object)
+        for k in pd.unique(keys):
+            if not k:
+                continue
+            g = cache.get(k)
+            if g is None:
+                g = gm.parse_wkb(k)
+                if len(cache) > 4096:
+                    cache.clear()
+                cache[k] = g
+            m = keys == k
+            out[m] = gm.points_in_polygon(lon_np[m], lat_np[m], g)
+        return pd.Series(out)
+
+    return _pip
+
+
 def pip_refine_udf(geoms_by_key: dict[object, bytes]):
     """Exact point-in-polygon against a broadcast {key: wkb} dict.
 

@@ -45,15 +45,32 @@ def dedup_exact(df: DataFrame, id_col: str = "url", text_col: str = "text") -> D
 def shingle_hashes(
     df: DataFrame, id_col: str = "url", text_col: str = "text"
 ) -> DataFrame:
-    """Distinct (id, shingle-hash) relation — input to minhash + verify."""
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(TH.word_shingles(F.col(text_col))).alias("s"),
-        )
-        .select("id", TH.h60(F.col("s")).alias("h"))
-        .distinct()
+    """Distinct (id, shingle-hash) relation — input to minhash + verify.
+
+    Built as posexplode + window ``lead`` rather than a higher-order
+    ``transform`` over the token array: HOF lambdas are interpreted and
+    re-evaluate any captured expression per element, which re-ran the
+    tokenizer regexp ~3×shingles times per row (measured 40× slower).
+    Here the regexp runs once per row and everything stays in codegen;
+    the window shuffle is keyed by doc id (well distributed)."""
+    from pyspark.sql import Window
+
+    n = TH.SHINGLE_N
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(TH.tokens(F.col(text_col))).alias("pos", "t"),
     )
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("t", j).over(w).alias(f"t{j}") for j in range(1, n)]
+    sh = (
+        tok.select("id", F.col("t").alias("t0"), *lead_cols)
+        .filter(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "id",
+            F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("s"),
+        )
+    )
+    return sh.select("id", TH.h60(F.col("s")).alias("h")).distinct()
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
@@ -98,21 +115,27 @@ def jaccard_verify(
     """Exact shingle-set Jaccard for candidate pairs; keeps >= threshold.
 
     jac_ppm = floor(1e6 * |A∩B| / |A∪B|) — exact-int inputs, IEEE double
-    division, identical in both engines."""
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("id").alias("id_a"), "h")
-    sb = sh.select(F.col("id").alias("id_b"), "h")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    division, identical in both engines.
+
+    Plan: one row of sorted shingle hashes per doc (array<bigint>, ~KBs),
+    two hash joins onto the pair table, JVM ``array_intersect`` — instead
+    of exploding pairs × shingles (which multiplies the pair table by the
+    shingle count before re-aggregating).  The DuckDB oracle keeps the
+    explode formulation; same values, different plan."""
+    arrs = sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("h")).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    a = arrs.select(
+        F.col("id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
+    )
+    b = arrs.select(
+        F.col("id").alias("id_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb")
+    )
     out = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"))
         .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
         .withColumn(
             "jac_ppm",
@@ -130,8 +153,14 @@ def dedup_minhash(
     text_col: str = "text",
     threshold_ppm: int = 700_000,
 ) -> DataFrame:
-    """MinHash(64) + LSH(16×4) near-dup pairs with exact-Jaccard verify."""
-    sh = shingle_hashes(df, id_col, text_col)
+    """MinHash(64) + LSH(16×4) near-dup pairs with exact-Jaccard verify.
+
+    The shingle relation feeds both the signature agg and the verify —
+    persisted (memory-and-disk) so the text → shingle → hash pipeline runs
+    once, not twice."""
+    from pyspark import StorageLevel
+
+    sh = shingle_hashes(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidates(minhash_signatures(sh))
     return jaccard_verify(cand, sh, threshold_ppm)
 
@@ -212,26 +241,35 @@ def dedup_ngram(
     (non-probabilistic counterpart to MinHash): block on md5(first `prefix`
     chars) — replicas of one base doc share the block — then exact k-gram
     Jaccard within blocks."""
+    # char-shingle hashes computed in-row via the array HOF (the md5 per
+    # gram dominates either way; exploding positions and carrying the text
+    # through the Generate measured ~60% slower)
     base = df.select(
         F.col(id_col).alias("id"),
         F.md5(F.substring(F.col(text_col), 1, prefix)).alias("blk"),
         F.explode(TH.char_shingles_h(F.col(text_col), k)).alias("h"),
     ).distinct()
-    sizes = base.groupBy("id", "blk").agg(F.count(F.lit(1)).alias("n"))
-    a = sizes.select(F.col("blk"), F.col("id").alias("id_a"), F.col("n").alias("na"))
-    b = sizes.select(F.col("blk"), F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
-    sa = base.select(F.col("id").alias("id_a"), "h")
-    sb = base.select(F.col("id").alias("id_b"), "h")
-    inter = (
-        cand.select("id_a", "id_b", "na", "nb")
-        .join(sa, "id_a")
-        .join(sb, ["id_b", "h"])
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # one (sorted-array, size) row per doc; pairs within a block compare via
+    # JVM array_intersect (same array-vs-explode tradeoff as jaccard_verify)
+    arrs = base.groupBy("id", "blk").agg(
+        F.sort_array(F.collect_list("h")).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
     )
-    out = inter.withColumn("uni", F.col("na") + F.col("nb") - F.col("inter")).withColumn(
-        "jac_ppm", F.floor(F.lit(1e6) * F.col("inter") / F.col("uni")).cast("bigint")
+    a = arrs.select(
+        "blk", F.col("id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
+    )
+    b = arrs.select(
+        "blk", F.col("id").alias("id_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb")
+    )
+    cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    out = (
+        cand.withColumn(
+            "inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint")
+        )
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn(
+            "jac_ppm", F.floor(F.lit(1e6) * F.col("inter") / F.col("uni")).cast("bigint")
+        )
     )
     return out.filter(F.col("jac_ppm") >= threshold_ppm).select(
         "id_a", "id_b", "jac_ppm"

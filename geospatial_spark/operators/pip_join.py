@@ -35,14 +35,24 @@ from ..functions import udfs
 
 
 def polygon_cells(
-    polys_df: DataFrame, poly_id: str, precision: int, geometry: str = "geometry"
+    polys_df: DataFrame,
+    poly_id: str,
+    precision: int,
+    geometry: str = "geometry",
+    keep_geometry: bool = False,
 ) -> DataFrame:
-    """polycell (G1): polygon side → exploded (cell, poly_id) relation."""
+    """polycell (G1): polygon side → exploded (cell, poly_id) relation.
+
+    ``keep_geometry`` carries the WKB through the explode so the shuffle
+    join can refine without any driver-side geometry collect."""
     fill = udfs.geohash_polyfill_udf(precision, mode="intersects")
+    cols = [F.col(poly_id), F.explode("__cells").alias("cell")]
+    if keep_geometry:
+        cols.append(F.col(geometry).alias("__geom"))
     return (
         polys_df.select(poly_id, geometry)
         .withColumn("__cells", fill(F.col(geometry)))
-        .select(F.col(poly_id), F.explode("__cells").alias("cell"))
+        .select(*cols)
     )
 
 
@@ -65,24 +75,33 @@ def pip_join(
     Output: point columns + poly_id.
     """
     out_cols = list(point_cols) if point_cols else [c for c in points_df.columns]
-    cells = polygon_cells(polys_df, poly_id, precision, geometry)
     enc = udfs.geohash_encode_udf(precision)
     pts = points_df.withColumn("__cell", enc(F.col(lat), F.col(lon)))
 
-    # geometry dictionary for the exact refine (small side by contract in
-    # broadcast mode; in shuffle mode the polygon count is still the small
-    # *table* — it is the candidate-pair volume that is large)
-    geoms = {
-        r[poly_id]: bytes(r[geometry])
-        for r in polys_df.select(poly_id, geometry).collect()
-    }
-    refine = udfs.pip_refine_udf(geoms)
-
     if strategy == "broadcast":
+        # small polygon side by contract: the (cell, poly) relation is the
+        # broadcast index; geometries ship once per executor in the refine
+        # UDF's closure (reference quick_intersection case, gutils.py:463)
+        cells = polygon_cells(polys_df, poly_id, precision, geometry)
+        geoms = {
+            r[poly_id]: bytes(r[geometry])
+            for r in polys_df.select(poly_id, geometry).collect()
+        }
+        refine = udfs.pip_refine_udf(geoms)
         cand = pts.join(F.broadcast(cells), pts["__cell"] == cells["cell"], "inner")
+        refined = cand.filter(refine(F.col(poly_id), F.col(lon), F.col(lat)))
     else:
-        # explicit skew salting (N5): find heavy point cells, replicate the
-        # polygon side for those cells `salt` ways
+        # large-large: NO driver-side geometry collect — the WKB rides the
+        # exploded (cell, poly, geom) relation through the shuffle and the
+        # refine UDF memoizes parses per executor.  Explicit skew salting
+        # (N5): heavy point cells replicate the polygon side `salt` ways.
+        from pyspark import StorageLevel
+
+        cells = polygon_cells(polys_df, poly_id, precision, geometry, keep_geometry=True)
+        # the point side feeds the heavy-cell histogram AND the probe join —
+        # persist so extraction/encode lineage runs once (at 100 TB this is
+        # a disk-backed materialization, the standard two-pass skew pattern)
+        pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
         heavy = (
             pts.groupBy("__cell")
             .count()
@@ -97,7 +116,7 @@ def pip_join(
                     F.col("__heavy").isNotNull(), F.sequence(F.lit(0), F.lit(salt - 1))
                 ).otherwise(F.array(F.lit(0))),
             )
-            .select("cell", poly_id, F.explode("__salts").alias("__salt"))
+            .select("cell", poly_id, "__geom", F.explode("__salts").alias("__salt"))
         )
         salt_src = out_cols[0] if out_cols else "__cell"
         pts_s = (
@@ -116,8 +135,9 @@ def pip_join(
             (pts_s["__cell"] == cells_s["cell"]) & (pts_s["__salt"] == cells_s["__salt"]),
             "inner",
         )
+        refine = udfs.pip_refine_wkb_udf()
+        refined = cand.filter(refine(F.col("__geom"), F.col(lon), F.col(lat)))
 
-    refined = cand.filter(refine(F.col(poly_id), F.col(lon), F.col(lat)))
     return refined.select(*[F.col(c) for c in out_cols], F.col(poly_id))
 
 
