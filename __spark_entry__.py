@@ -248,6 +248,65 @@ def _q_compact_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ways_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 ways_to_geom: node-list → Polygon (closed ring) vs LineString,
+    decided PER WAY (the reference's batch variant decides from the first
+    way only — osm.py:98,104 — a bug we fix).  Fixture ways = region
+    rectangle rings (closed) ∪ gazetteer trajectories (open); Overpass HTTP
+    source replaced per SURVEY §2.5."""
+    regions = src.regions(spark)
+    region_ways = regions.select(
+        F.col("region_idx").alias("way_id"),
+        F.lit(5).cast("bigint").alias("n_points"),
+        (
+            (F.col("minx") == F.col("minx")) & (F.col("miny") == F.col("miny"))
+        ).alias("is_closed"),
+    )
+    gaz = src.gazetteer(spark)
+    traj_ways = (
+        gaz.groupBy((F.col("idx") / 10).cast("bigint").alias("traj"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min_by(F.col("lon"), F.col("idx")).alias("flon"),
+            F.min_by(F.col("lat"), F.col("idx")).alias("flat"),
+            F.max_by(F.col("lon"), F.col("idx")).alias("llon"),
+            F.max_by(F.col("lat"), F.col("idx")).alias("llat"),
+        )
+        .select(
+            (F.col("traj") + 1000).alias("way_id"),
+            F.col("n_points"),
+            ((F.col("flon") == F.col("llon")) & (F.col("flat") == F.col("llat"))).alias(
+                "is_closed"
+            ),
+        )
+    )
+    return region_ways.unionByName(traj_ways).select(
+        "way_id",
+        "n_points",
+        "is_closed",
+        F.when(F.col("is_closed"), "polygon").otherwise("linestring").alias("kind"),
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7 batch twin of streaming.windowed_counts: tumbling 1-hour windows
+    over events (epoch-second starts, exact-cent sums → float-free)."""
+    ev = src.read_split(spark, f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("cents"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "n_events",
+            "cents",
+        )
+    )
+
+
 def _q_vincenty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5 vincenty (iterative geodesic, pandas UDF) — km buckets to London;
     rows-only (not closed-form SQL-expressible)."""
@@ -269,11 +328,11 @@ def _q_vincenty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return src.read_split(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return src.read_split(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -345,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tiles": _q_s2_tiles,
         "compact_regions": _q_compact_regions,
         "vincenty_buckets": _q_vincenty_buckets,
+        "ways_classify": _q_ways_classify,
+        "events_hourly": _q_events_hourly,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -488,6 +549,22 @@ SELECT entity, color_idx, {_palette_case_sql('color_idx')} AS color_hex, n FROM 
         "geom_stats": G(
             "SELECT region_id, CAST(1 AS INT) AS n_shells, CAST(0 AS INT) AS n_holes, "
             "CAST(5 AS INT) AS n_points FROM regions"
+        ),
+        "ways_classify": G(
+            """, rw AS (SELECT region_idx AS way_id, CAST(5 AS BIGINT) AS n_points,
+             (minx = minx AND miny = miny) AS is_closed FROM regions),
+tw AS (SELECT CAST(i // 10 AS BIGINT) + 1000 AS way_id, count(*) AS n_points,
+       (arg_min(lon, i) = arg_max(lon, i) AND arg_min(lat, i) = arg_max(lat, i)) AS is_closed
+       FROM gaz GROUP BY 1),
+w AS (SELECT * FROM rw UNION ALL SELECT * FROM tw)
+SELECT way_id, n_points, is_closed,
+       CASE WHEN is_closed THEN 'polygon' ELSE 'linestring' END AS kind FROM w"""
+        ),
+        "events_hourly": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
+            "event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM events GROUP BY 1, 2"
         ),
         "dedup_exact": otxt.dedup_exact_sql(),
         "dedup_minhash": otxt.dedup_minhash_sql(),

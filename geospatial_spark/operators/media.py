@@ -51,7 +51,9 @@ def decode_audio(payload: bytes):
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a deterministic media table from documents:
     (media_id, kind, payload binary, width, height)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..sources.pages import read_split
+
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")

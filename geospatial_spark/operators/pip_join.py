@@ -79,14 +79,29 @@ def pip_join(
     pts = points_df.withColumn("__cell", enc(F.col(lat), F.col(lon)))
 
     if strategy == "broadcast":
-        # small polygon side by contract: the (cell, poly) relation is the
-        # broadcast index; geometries ship once per executor in the refine
-        # UDF's closure (reference quick_intersection case, gutils.py:463)
-        cells = polygon_cells(polys_df, poly_id, precision, geometry)
-        geoms = {
-            r[poly_id]: bytes(r[geometry])
-            for r in polys_df.select(poly_id, geometry).collect()
-        }
+        # small polygon side by contract: the (cell, poly) index is built
+        # DRIVER-side with the local numpy kernels (exactly the reference's
+        # quick_intersection R-tree build, gutils.py:463) and broadcast;
+        # geometries ship once per executor in the refine UDF's closure.
+        # Building locally avoids a 1-task Spark job (polyfill UDF over the
+        # tiny polygon table) inside every action's broadcast build.
+        from ..geo import geom as gm
+        from ..geo import polyfill as pf
+
+        rows = polys_df.select(poly_id, geometry).collect()
+        geoms = {r[poly_id]: bytes(r[geometry]) for r in rows}
+        spark = polys_df.sparkSession
+        cell_rows = [
+            (r[poly_id], str(c))
+            for r in rows
+            for c in pf.geohash_polyfill(
+                gm.parse_wkb(bytes(r[geometry])), precision, "intersects"
+            )
+        ]
+        id_type = polys_df.schema[poly_id].dataType.simpleString()
+        cells = spark.createDataFrame(
+            cell_rows, f"`{poly_id}` {id_type}, cell string"
+        )
         refine = udfs.pip_refine_udf(geoms)
         cand = pts.join(F.broadcast(cells), pts["__cell"] == cells["cell"], "inner")
         refined = cand.filter(refine(F.col(poly_id), F.col(lon), F.col(lat)))

@@ -43,14 +43,30 @@ def _mention_idx(raw: Column) -> Column:
     return F.when(raw % C.MEGACITY_MOD == 0, mega).otherwise(raw % C.N_SYNTH_CITIES)
 
 
+def read_split(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet and guarantee >= defaultParallelism partitions.
+
+    A 100 TB table arrives pre-split into thousands of file splits; the
+    sandbox fixtures are single small files, which would pin every
+    downstream zero-shuffle (broadcast-only) pipeline to ONE task.  The
+    one-time repartition of the tiny base table restores the parallelism a
+    real input has for free — it is a no-op when the scan is already wide.
+    """
+    df = spark.read.parquet(path)
+    par = 4 * spark.sparkContext.defaultParallelism  # ~4 task waves/stage
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def pages(spark: SparkSession, sf_dir: str, replication: int = C.REPLICATION) -> DataFrame:
     """The engine's primary input table (url, warc_ts, html, text, lang).
 
     text = documents.text + 0..3 deterministic ' near <City>.' mentions;
     per-url sha256(text) is the pipeline invariant (BASELINE.json:16).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
+    events = read_split(spark, f"{sf_dir}/events.parquet").select("event_id", "ts")
     n_events = events.count()
     reps = spark.range(replication).withColumnRenamed("id", "rep")
     df = docs.crossJoin(F.broadcast(reps))
