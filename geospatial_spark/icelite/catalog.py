@@ -94,14 +94,29 @@ def write_partitioned(
     n_partitions: int = 16,
     batch_size: int = 4,
     fail_after_batches: int | None = None,
+    range_bounds: list[int] | None = None,
 ) -> dict[str, Any]:
-    """Resumably materialize ``df`` into ``root/table`` partitioned by
-    ``pid = pmod(xxhash64(key_col), n_partitions)``.
+    """Resumably materialize ``df`` into ``root/table``.
+
+    Partitioning: hash (``pid = pmod(xxhash64(key), n)``) by default, or
+    RANGE over the key when ``range_bounds`` is given — with an S2 cell-id
+    key the id space is Hilbert-ordered, so range partitions are spatially
+    contiguous and the per-partition (key_min, key_max) lineage doubles as
+    a file-pruning index for cell-range predicates.
 
     Skips partitions already committed (resume).  ``fail_after_batches``
     injects a crash for the resume test.  Returns the final manifest.
     """
-    pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_partitions)).cast("int")
+    if range_bounds is not None:
+        n_partitions = len(range_bounds) + 1
+        pid_expr = F.lit(len(range_bounds))
+        for i in range(len(range_bounds) - 1, -1, -1):
+            pid_expr = F.when(
+                F.col(key_col) <= F.lit(range_bounds[i]), F.lit(i)
+            ).otherwise(pid_expr)
+        pid = pid_expr.cast("int")
+    else:
+        pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_partitions)).cast("int")
     staged = df.withColumn("__pid", pid)
 
     done = committed_partitions(root, table)
