@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geospatial_spark.functions import udfs
+from geospatial_spark.operators import buffer as buf_ops
 from geospatial_spark.operators import dedup as dd
+from geospatial_spark.operators import sessions as sess_ops
 from geospatial_spark.operators import knn as knn_ops
 from geospatial_spark.operators import media as med
 from geospatial_spark.operators import pip_join as pj
@@ -307,6 +309,53 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_buffer_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 buffer/ring paths (karta.py:806-846): 5-10 km annulus around
+    every gazetteer point — exploded shell/hole vertices via spherical
+    destination math (JVM trig, oracle-mirrored; rounded to 1e-6 deg to
+    absorb libm-vs-JVM ulp)."""
+    from geospatial_spark.operators import buffer as buf
+
+    gaz = src.gazetteer(spark).select("name", "lat", "lon")
+    out = buf.point_ring_vertices(gaz, inner_m=5000.0, outer_m=10000.0, n_vertices=16)
+    return out.select(
+        "name",
+        "ring",
+        "vertex",
+        F.round("v_lat", 6).alias("v_lat"),
+        F.round("v_lon", 6).alias("v_lon"),
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of events (30-min gap) — window lag +
+    running sum + per-session agg."""
+    from geospatial_spark.operators import sessions as sess
+
+    ev = src.read_split(spark, f"{sf_dir}/events.parquet")
+    return sess.sessionize(ev, gap_seconds=1800)
+
+
+def _q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 pointcell + token + center (G3/N1 S2 side) — rows-only (S2 ids
+    validated by kernel golden tests; not SQL-expressible)."""
+    pts = _points(spark, sf_dir)
+    s2c = udfs.s2_cell_udf(12)
+    latf, lonf = udfs.s2_center_udfs()
+    cells = (
+        pts.withColumn("cell_id", s2c(F.col("lat"), F.col("lon")))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cells.select(
+        "cell_id",
+        udfs.s2_token_udf(F.col("cell_id")).alias("token"),
+        F.round(latf(F.col("cell_id")), 9).alias("center_lat"),
+        F.round(lonf(F.col("cell_id")), 9).alias("center_lon"),
+        "n",
+    )
+
+
 def _q_vincenty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5 vincenty (iterative geodesic, pandas UDF) — km buckets to London;
     rows-only (not closed-form SQL-expressible)."""
@@ -406,6 +455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vincenty_buckets": _q_vincenty_buckets,
         "ways_classify": _q_ways_classify,
         "events_hourly": _q_events_hourly,
+        "buffer_ring": _q_buffer_ring,
+        "sessionize": _q_sessionize,
+        "s2_cells": _q_s2_cells,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -447,6 +499,21 @@ def _color_idx_sql(expr: str) -> str:
         f"CASE WHEN length({cl}) = 0 THEN 0 ELSE "
         f"(({last}) + 12 * ({second})) % 24 END"
     )
+
+
+def _buffer_ring_oracle_sql() -> str:
+    import math
+
+    parts = []
+    for ring, radius in (("outer", 10000.0), ("inner", 5000.0)):
+        theta = f"(v * {2.0 * math.pi / 16!r})"
+        vlat, vlon = buf_ops.dest_sql("g.lat", "g.lon", radius, theta)
+        parts.append(
+            f"SELECT g.name, '{ring}' AS ring, CAST(v AS INT) AS vertex, "
+            f"round({vlat}, 6) AS v_lat, round({vlon}, 6) AS v_lon "
+            "FROM gaz g, (SELECT unnest(range(0, 16)) AS v) t"
+        )
+    return osql.with_geo_ctes("\nUNION ALL ".join(parts))
 
 
 def _palette_case_sql(idx_expr: str) -> str:
@@ -560,6 +627,8 @@ w AS (SELECT * FROM rw UNION ALL SELECT * FROM tw)
 SELECT way_id, n_points, is_closed,
        CASE WHEN is_closed THEN 'polygon' ELSE 'linestring' END AS kind FROM w"""
         ),
+        "buffer_ring": _buffer_ring_oracle_sql(),
+        "sessionize": sess_ops.sessionize_sql(1800),
         "events_hourly": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
             "event_type, count(*) AS n_events, "
