@@ -424,6 +424,47 @@ def _q_doc_fingerprint(spark, sf_dir):
     return ts.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components (min-label
+    propagation) over SimHash near-dup pairs → cluster sizes.  Rows-only
+    (iterative; the algorithm is validated against a local union-find
+    oracle in tests/test_dedup_clusters.py on the MinHash pair set)."""
+    pairs = dd.dedup_simhash(src.pages(spark, sf_dir))
+    labels = dd.dedup_clusters(pairs)
+    return labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
+
+
+def _q_corpus_curate(spark, sf_dir):
+    """End-to-end curation: exact-dup keeper election (window min over
+    sha256(text)) + quality gate → per-(lang, status) counts.  The
+    capstone composition of the dedup + quality operators."""
+    from pyspark.sql import Window
+
+    from geospatial_spark.functions import texthash as TH
+
+    pg = src.pages(spark, sf_dir)
+    t = TH.tokens(F.col("text"))
+    n_tok = F.size(t)
+    uniq = F.size(F.array_distinct(t))
+    safe = F.greatest(n_tok, F.lit(1))
+    quality = F.floor(
+        F.lit(1e6)
+        * (F.lit(0.5) * uniq / safe + F.lit(0.5) * F.least(n_tok, F.lit(200)) / F.lit(200.0))
+    ).cast("bigint")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    keeper = F.min("url").over(w)
+    status = (
+        F.when(F.col("url") != keeper, "dup")
+        .when(quality < 400_000, "lowq")
+        .otherwise("kept")
+    )
+    return (
+        pg.select("url", "lang", status.alias("status"))
+        .groupBy("lang", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q_media_features(spark, sf_dir):
     return med.extract_features(med.media_table(spark, sf_dir))
 
@@ -470,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
+        "dedup_clusters": _q_dedup_clusters,
+        "corpus_curate": _q_corpus_curate,
     }
 
 
@@ -645,6 +688,20 @@ SELECT way_id, n_points, is_closed,
         "lang_id": otxt.lang_id_sql(),
         "text_quality": otxt.text_quality_sql(),
         "doc_fingerprint": otxt.doc_fingerprint_sql(),
+        "corpus_curate": G(
+            f""", q AS (
+  SELECT url, lang, sha256(text) AS sha,
+    CAST(floor(1e6 * (0.5 * len(list_distinct({otxt.TH.tokens_sql('text')})) /
+         greatest(len({otxt.TH.tokens_sql('text')}), 1) +
+         0.5 * least(len({otxt.TH.tokens_sql('text')}), 200) / 200.0)) AS BIGINT) AS quality
+  FROM pages
+),
+k AS (SELECT *, min(url) OVER (PARTITION BY sha) AS keeper FROM q),
+s AS (SELECT lang, CASE WHEN url <> keeper THEN 'dup'
+                        WHEN quality < 400000 THEN 'lowq'
+                        ELSE 'kept' END AS status FROM k)
+SELECT lang, status, count(*) AS n FROM s GROUP BY 1, 2"""
+        ),
         "media_features": otxt.media_features_sql(),
         "frame_samples": (
             f"SELECT media_id, unnest(range(0, n_frames, 16)) AS frame_idx "

@@ -319,3 +319,52 @@ def dedup_embed(
     return out.filter(F.col("cos_ppm") >= threshold_ppm).select(
         "id_a", "id_b", "cos_ppm"
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster) with
+    cluster = min id in the component (the keeper).  Iterative min-label
+    propagation: each round joins labels across edges and takes the min;
+    converges in component-diameter rounds (dup clusters are shallow —
+    replicas of one base doc form near-cliques), capped at ``max_iter``.
+
+    Scale notes: each round is one equi-join on id + one partial-agg
+    groupBy — the standard large-scale CC pattern; rounds are driver-
+    checked for convergence so typical corpora stop after 2-3."""
+    # localCheckpoint (not persist): iterative self-referential plans grow
+    # exponentially under AQE when only cached — measured per-round cost
+    # doubling; checkpointing truncates the lineage so every round is O(E).
+    # On a cluster this would be reliable checkpoint() to durable storage.
+    edges = (
+        pairs.select("id_a", "id_b")
+        .unionByName(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels.withColumnRenamed("id", "id_b"), "id_b"
+        ).select(F.col("id_a").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))
