@@ -54,9 +54,16 @@ def main() -> None:
 
     qs = E.queries()
 
-    # JVM/Arrow warmup so startup cost isn't charged to the first query
+    # Warmup: JVM JIT + codegen + Arrow channel + Python UDF worker pool +
+    # broadcast paths — a tiny full run of the flagship pipeline, so one-time
+    # startup isn't charged to whichever timed query happens to run first
+    # (measured: the first UDF-bearing query otherwise pays ~60-80 s).
     t0 = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        E.entry(spark).count()
+    except Exception as exc:  # warmup must never fail the bench
+        log(f"warmup entry() failed: {exc}")
     log(f"warmup {time.time() - t0:.1f}s  sf_dir={sf_dir} cpus={cpus}")
 
     headline = [
