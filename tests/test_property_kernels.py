@@ -1,0 +1,98 @@
+"""Property-based invariants for the numpy cell/geometry kernels
+(hypothesis; SURVEY §5.1 — no Spark session needed, runs in seconds)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geospatial_spark.geo import compact as lc
+from geospatial_spark.geo import distance as dist
+from geospatial_spark.geo import geohash as gh
+from geospatial_spark.geo import polyline as pl
+from geospatial_spark.geo import s2 as s2k
+from geospatial_spark.geo import tiles as tl
+
+lats = st.floats(min_value=-85.0, max_value=85.0, allow_nan=False, width=64)
+lons = st.floats(min_value=-179.999, max_value=179.999, allow_nan=False, width=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, st.integers(min_value=1, max_value=9))
+def test_geohash_roundtrip_and_parent(lat, lon, p):
+    cell = gh.encode(np.array([lat]), np.array([lon]), p)[0]
+    # center of the cell re-encodes to the same cell
+    clat, clon = gh.decode(np.array([cell]), p)
+    assert gh.encode(clat, clon, p)[0] == cell
+    # the point lies inside the cell bbox (1e-9 deg tolerance: the float
+    # quantization (lon+180)/360 rounds points within ~1e-14 deg of a cell
+    # boundary into the neighbor — inherent to every geohash impl)
+    mnx, mny, mxx, mxy = gh.cell_bbox(np.array([cell]), p)
+    assert mnx[0] - 1e-9 <= lon <= mxx[0] + 1e-9
+    assert mny[0] - 1e-9 <= lat <= mxy[0] + 1e-9
+    # parent prefix contains the point's coarser cell
+    if p > 1:
+        assert gh.encode(np.array([lat]), np.array([lon]), p - 1)[0] == cell[: p - 1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, st.integers(min_value=1, max_value=20))
+def test_s2_roundtrip_level_parent(lat, lon, level):
+    cell = s2k.latlng_to_cell(np.array([lat]), np.array([lon]), level)
+    assert int(s2k.level(cell)[0]) == level
+    # center of the cell re-encodes to the same cell
+    clat, clon = s2k.cell_center_latlng(cell)
+    assert int(s2k.latlng_to_cell(clat, clon, level)[0]) == int(cell[0])
+    if level > 0:
+        par = s2k.parent(cell, level - 1)
+        assert int(s2k.level(par)[0]) == level - 1
+        # parent of the point computed directly == parent of the cell
+        assert int(s2k.latlng_to_cell(np.array([lat]), np.array([lon]), level - 1)[0]) == int(par[0])
+        # children of the parent include the cell
+        kids = s2k.children(par)
+        assert int(cell[0]) in {int(k) for k in kids.ravel()}
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=30), lats, lons)
+def test_s2_compact_uncompact_identity(level_seed, lat, lon):
+    level = 4 + level_seed % 8
+    cell = s2k.latlng_to_cell(np.array([lat]), np.array([lon]), level)
+    kids = [int(c) for c in s2k.children(cell).ravel()]
+    # complete family compacts to the parent; uncompact restores it
+    compacted = [int(c) for c in lc.compact_s2(kids)]
+    assert compacted == sorted({int(cell[0])} | set(), key=lambda x: np.uint64(x))
+    restored = sorted(int(c) for c in lc.uncompact_s2(compacted, level + 1))
+    assert restored == sorted(kids)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, st.integers(min_value=0, max_value=18))
+def test_tile_bounds_contain_point(lat, lon, z):
+    x, y = tl.lonlat_to_tile(np.array([lon]), np.array([lat]), z)
+    assert 0 <= x[0] < (1 << z) and 0 <= y[0] < (1 << z)
+    w, s, e, n = tl.tile_bounds(x, y, z)
+    assert w[0] - 1e-9 <= lon <= e[0] + 1e-9
+    if abs(lat) <= 85.05:
+        assert s[0] - 1e-9 <= lat <= n[0] + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(lons, lats), min_size=1, max_size=8))
+def test_polyline_roundtrip(coords):
+    enc = pl.encode(coords)
+    got = pl.decode_int(enc)
+    want = [(round(lon * 1e6), round(lat * 1e6)) for lon, lat in coords]
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, lats, lons)
+def test_haversine_metric_properties(lat1, lon1, lat2, lon2):
+    d = dist.haversine(np.array([lat1]), np.array([lon1]), np.array([lat2]), np.array([lon2]))[0]
+    d_rev = dist.haversine(np.array([lat2]), np.array([lon2]), np.array([lat1]), np.array([lon1]))[0]
+    assert d >= 0 and abs(d - d_rev) < 1e-6
+    assert d <= np.pi * dist.EARTH_RADIUS_M + 1.0  # ≤ half circumference
+    d_self = dist.haversine(np.array([lat1]), np.array([lon1]), np.array([lat1]), np.array([lon1]))[0]
+    assert d_self < 1e-6
