@@ -412,6 +412,10 @@ def _q_ann_lsh(spark, sf_dir):
     return sim.ann_lsh_topk(_emb(spark, sf_dir))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    return sim.ann_ivf_topk(_emb(spark, sf_dir))
+
+
 def _q_lang_id(spark, sf_dir):
     return ts.lang_id(_docs(spark, sf_dir), spark)
 
@@ -506,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed": _q_dedup_embed,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -685,6 +690,7 @@ SELECT way_id, n_points, is_closed,
         "dedup_embed": otxt.dedup_embed_sql(),
         "ann_topk": otxt.ann_topk_sql(),
         "ann_lsh": otxt.ann_lsh_topk_sql(),
+        "ann_ivf": otxt.ann_ivf_topk_sql(),
         "lang_id": otxt.lang_id_sql(),
         "text_quality": otxt.text_quality_sql(),
         "doc_fingerprint": otxt.doc_fingerprint_sql(),

@@ -117,3 +117,87 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_ppm")
     )
+
+
+def ann_ivf_topk(
+    emb_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    query_mod: int = 50,
+    centroid_mod: int = 31,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k: the second scale path besides SRP-LSH.
+
+    Coarse "centroids" are a deterministic sample of the corpus itself
+    (vec_id % centroid_mod == 1 — IVF-flat with sampled centroids; a real
+    deployment would k-means them, which is a training step outside the
+    deterministic-oracle scope).  Every vector is assigned to its nearest
+    centroid (exact-int cosine, ties → smaller centroid id); queries probe
+    their `nprobe` nearest centroid lists and exact-re-rank.
+
+    Plan shape: assignment is a broadcast cross join N×C + window rank
+    (C tiny); the probe join is an equi-join on centroid id — one shuffle
+    keyed by list id, AQE-splittable when a list is hot."""
+    base = _scaled(emb_df, id_col, vec_col, dim)
+    cents = base.filter(F.col("id") % centroid_mod == 1).select(
+        F.col("id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("norm2").alias("cn2"),
+    )
+
+    def rank_centroids(side: DataFrame, keep: int, out_prefix: str) -> DataFrame:
+        pairs = side.crossJoin(F.broadcast(cents))
+        scored = pairs.withColumn("dot", TH.int_dot(F.col("v"), F.col("cv"))).withColumn(
+            "c_cos",
+            F.floor(
+                F.lit(1e6)
+                * F.col("dot")
+                / F.sqrt(F.col("norm2").cast("double") * F.col("cn2").cast("double"))
+            ).cast("bigint"),
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("c_cos").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep)
+            .select(
+                F.col("id").alias(f"{out_prefix}_id"),
+                F.col("cent_id"),
+                F.col("v").alias(f"{out_prefix}_v"),
+                F.col("norm2").alias(f"{out_prefix}_n2"),
+            )
+        )
+
+    assigned = rank_centroids(base, 1, "c")  # inverted lists
+    probes = rank_centroids(
+        base.filter(F.col("id") % query_mod == 0), nprobe, "q"
+    )
+    cand = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("q_v").alias("qv"),
+            F.col("q_n2").alias("qn2"),
+            F.col("c_v").alias("cv"),
+            F.col("c_n2").alias("cn2"),
+        )
+        .distinct()
+    )
+    scored = cand.withColumn("dot", TH.int_dot(F.col("qv"), F.col("cv"))).withColumn(
+        "cos_ppm", _cos_ppm()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_ppm")
+    )

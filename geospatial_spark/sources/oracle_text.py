@@ -240,3 +240,37 @@ SELECT media_id, kind,
   CAST(octet_length(encode(s)) // {frame_stride} + 1 AS BIGINT) AS n_frames,
   {f(0)} AS f0, {f(1)} AS f1, {f(2)} AS f2, {f(3)} AS f3
 FROM p"""
+
+
+def ann_ivf_topk_sql(
+    dim: int = 64,
+    k: int = 10,
+    query_mod: int = 50,
+    centroid_mod: int = 31,
+    nprobe: int = 2,
+) -> str:
+    scaled = TH.emb_scaled_sql("embedding")
+    norm = TH.int_dot_sql("v", "v", dim)
+    ccos = (
+        f"CAST(floor(1e6 * {TH.int_dot_sql('b.v', 'c.cv', dim)} / "
+        "sqrt(CAST(b.norm2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE))) AS BIGINT)"
+    )
+    qcos = (
+        f"CAST(floor(1e6 * {TH.int_dot_sql('q_v', 'c_v', dim)} / "
+        "sqrt(CAST(q_n2 AS DOUBLE) * CAST(c_n2 AS DOUBLE))) AS BIGINT)"
+    )
+    return f"""WITH base0 AS (SELECT vec_id AS id, {scaled} AS v FROM embeddings),
+base AS (SELECT id, v, {norm} AS norm2 FROM base0),
+cents AS (SELECT id AS cent_id, v AS cv, norm2 AS cn2 FROM base WHERE id % {centroid_mod} = 1),
+ranked AS (SELECT b.id, c.cent_id, b.v, b.norm2,
+           row_number() OVER (PARTITION BY b.id ORDER BY {ccos} DESC, c.cent_id ASC) AS crank
+           FROM base b CROSS JOIN cents c),
+assign AS (SELECT id AS c_id, cent_id, v AS c_v, norm2 AS c_n2 FROM ranked WHERE crank = 1),
+probes AS (SELECT id AS q_id, cent_id, v AS q_v, norm2 AS q_n2 FROM ranked
+           WHERE crank <= {nprobe} AND id % {query_mod} = 0),
+cand AS (SELECT DISTINCT p.q_id, a.c_id, p.q_v, p.q_n2, a.c_v, a.c_n2
+         FROM probes p JOIN assign a USING (cent_id) WHERE p.q_id <> a.c_id),
+scored AS (SELECT q_id AS query_id, c_id AS neighbor_id, {qcos} AS cos_ppm FROM cand),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       ORDER BY cos_ppm DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_ppm FROM r2 WHERE rank <= {k}"""
