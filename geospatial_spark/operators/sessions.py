@@ -29,7 +29,11 @@ def sessionize(
     Timestamps surface as tz-free formatted strings; money as exact cents
     (floor(x*100+0.5)) — float-free for the oracle compare."""
     w = Window.partitionBy(user).orderBy(F.col(ts).asc(), F.col("event_id").asc())
-    epoch = F.unix_timestamp(F.col(ts).cast("timestamp"))
+    # Fractional-seconds epoch (timestamp → double), exactly mirroring the
+    # oracle's epoch(ts): gap math must see sub-second parts identically on
+    # both sides (unix_timestamp truncates to whole seconds and can move a
+    # boundary event across the gap threshold).
+    epoch = F.col(ts).cast("timestamp").cast("double")
     gapped = events.withColumn(
         "__new",
         F.when(
@@ -71,7 +75,7 @@ s AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM g
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
        count(*) AS n_events,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
