@@ -26,6 +26,8 @@ from geospatial_spark.operators import pip_join as pj
 from geospatial_spark.operators import similarity as sim
 from geospatial_spark.operators import textstats as ts
 from geospatial_spark.operators import tiling
+from geospatial_spark.operators import ways as ways_ops
+from geospatial_spark.plans import planner
 from geospatial_spark.sources import constants as C
 from geospatial_spark.sources import oracle as osql
 from geospatial_spark.sources import oracle_text as otxt
@@ -81,15 +83,41 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same join through the shuffle+salting path (N5) — must agree with the
-    broadcast plan AND the oracle."""
+    broadcast plan AND the oracle.  Strategy is FORCED to shuffle so the
+    salted path is exercised, but salt factor / heavy-cell threshold come
+    from the planner's sampled skew stats (not hard-coded), so only
+    genuinely heavy cells replicate."""
+    pts = _points(spark, sf_dir)
+    regions = src.regions(spark)
+    plan = planner.choose_pip_plan(pts, regions, force_strategy="shuffle")
     return pj.pip_join(
-        _points(spark, sf_dir),
-        src.regions(spark),
+        pts,
+        regions,
         poly_id="region_id",
-        precision=4,
+        precision=plan.precision,
         strategy="shuffle",
-        salt=4,
-        heavy_cell_rows=200,
+        salt=plan.salt,
+        heavy_cell_rows=plan.heavy_cell_rows,
+        point_cols=("url", "entity"),
+    )
+
+
+def _q_pip_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully planner-chosen PIP join (plans.planner.choose_pip_plan picks
+    strategy, precision, salt, heavy-cell threshold from data stats) — the
+    end-to-end plan-selection path; must agree with the oracle regardless of
+    the chosen physical plan."""
+    pts = _points(spark, sf_dir)
+    regions = src.regions(spark)
+    plan = planner.choose_pip_plan(pts, regions)
+    return pj.pip_join(
+        pts,
+        regions,
+        poly_id="region_id",
+        precision=plan.precision,
+        strategy=plan.strategy,
+        salt=plan.salt,
+        heavy_cell_rows=plan.heavy_cell_rows,
         point_cols=("url", "entity"),
     )
 
@@ -251,43 +279,116 @@ def _q_compact_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ways_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1 ways_to_geom: node-list → Polygon (closed ring) vs LineString,
-    decided PER WAY (the reference's batch variant decides from the first
-    way only — osm.py:98,104 — a bug we fix).  Fixture ways = region
-    rectangle rings (closed) ∪ gazetteer trajectories (open); Overpass HTTP
-    source replaced per SURVEY §2.5."""
-    regions = src.regions(spark)
-    region_ways = regions.select(
-        F.col("region_idx").alias("way_id"),
-        F.lit(5).cast("bigint").alias("n_points"),
-        (
-            (F.col("minx") == F.col("minx")) & (F.col("miny") == F.col("miny"))
-        ).alias("is_closed"),
+    """O1 ways_to_geom: ways materialized as (way_id, coords
+    array<struct<lon,lat>>) — the real OSM shape — classified Polygon vs
+    LineString by comparing ACTUAL first/last array elements, decided PER
+    WAY (the reference's batch variant decides from the first way only —
+    osm.py:98,104 — a bug we fix).  Output carries the compared endpoint
+    coordinates so the oracle check is non-vacuous."""
+    return ways_ops.ways_classify(ways_ops.ways_table(spark))
+
+
+def _q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 map_matching approximation (osm.py:166-215): decode the encoded
+    trajectory polylines, snap every trace point to the nearest way node
+    (kNN k=1 with exact haversine re-rank) — the reference's HTTP snap
+    service replaced by the ways fixture."""
+    routes = _q_polyline_routes(spark, sf_dir)
+    trace = routes.select(
+        "traj_id",
+        "seq",
+        (F.col("lat_e6") / F.lit(1e6)).alias("lat"),
+        (F.col("lon_e6") / F.lit(1e6)).alias("lon"),
     )
-    gaz = src.gazetteer(spark)
-    traj_ways = (
-        gaz.groupBy((F.col("idx") / 10).cast("bigint").alias("traj"))
+    nodes = ways_ops.ways_nodes(ways_ops.ways_table(spark))
+    return ways_ops.map_match_snap(trace, nodes)
+
+
+def _q_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 marker-cluster transform (karta.py:757-766): coarse-cell groupBy
+    with count + centroid.  Centroids via exact-int e6 sums (order-
+    independent bigint aggregation) then floor-division — float-sum
+    nondeterminism never enters the plan."""
+    pts = _points(spark, sf_dir)
+    enc = udfs.geohash_encode_udf(2)
+    lat6 = F.floor(F.col("lat") * 1e6 + F.lit(0.5)).cast("bigint")
+    lon6 = F.floor(F.col("lon") * 1e6 + F.lit(0.5)).cast("bigint")
+    g = (
+        pts.withColumn("cell", enc(F.col("lat"), F.col("lon")))
+        .groupBy("cell")
         .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            F.min_by(F.col("lon"), F.col("idx")).alias("flon"),
-            F.min_by(F.col("lat"), F.col("idx")).alias("flat"),
-            F.max_by(F.col("lon"), F.col("idx")).alias("llon"),
-            F.max_by(F.col("lat"), F.col("idx")).alias("llat"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lat6).alias("__slat"),
+            F.sum(lon6).alias("__slon"),
         )
+    )
+    return g.select(
+        "cell",
+        "n",
+        F.floor(F.col("__slat") / F.col("n")).cast("bigint").alias("c_lat_e6"),
+        F.floor(F.col("__slon") / F.col("n")).cast("bigint").alias("c_lon_e6"),
+    )
+
+
+def _q_uncompact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4+G5 round-trip: union of region covers at geohash p5 → distributed
+    compact → distributed uncompact back to p5 — must restore EXACTLY the
+    original cell set (count pinned by the closed-form quantized-grid union
+    in the oracle; ref gindex.py:379-455)."""
+    from geospatial_spark.operators import compact as cmp_ops
+
+    cells = pj.polygon_cells(src.regions(spark), "region_id", 5).select("cell").distinct()
+    comp = cmp_ops.compact_geohash_df(cells)
+    rest = cmp_ops.uncompact_geohash_df(comp, 5)
+    return rest.groupBy(F.length("cell").alias("res")).agg(
+        F.count(F.lit(1)).alias("n_cells")
+    )
+
+
+def _q_flatten3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 flatten_3d (gutils.py:323-365): region bboxes → ISO-Z WKB polygon
+    (shell + hole on a z-plane) → Z-strip → parse → ring counts + per-ring
+    bboxes.  The doubles round-trip through real 3D bytes."""
+    f3 = udfs.flatten3d_stats_udf()
+    return (
+        src.regions(spark)
         .select(
-            (F.col("traj") + 1000).alias("way_id"),
-            F.col("n_points"),
-            ((F.col("flon") == F.col("llon")) & (F.col("flat") == F.col("llat"))).alias(
-                "is_closed"
-            ),
+            "region_id",
+            f3(
+                F.col("minx"),
+                F.col("miny"),
+                F.col("maxx"),
+                F.col("maxy"),
+                F.col("region_idx").cast("double"),
+            ).alias("__s"),
         )
+        .select("region_id", "__s.*")
     )
-    return region_ways.unionByName(traj_ways).select(
-        "way_id",
-        "n_points",
-        "is_closed",
-        F.when(F.col("is_closed"), "polygon").otherwise("linestring").alias("kind"),
+
+
+_CLIP_WINDOW = (-100.25, -50.25, 100.25, 60.25)
+
+
+def _q_clip_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10 rect overlay: Sutherland–Hodgman clip of every region shell ring
+    against a fixed window (geo/geom.py clip_ring_to_rect; the bbox-clip
+    scope documented in SURVEY §7.8) — clipped vertex count + bbox, NULL
+    when disjoint."""
+    clip = udfs.clip_rect_udf(*_CLIP_WINDOW)
+    return (
+        src.regions(spark)
+        .select("region_id", clip(F.col("geometry")).alias("__c"))
+        .select("region_id", "__c.*")
     )
+
+
+def _q_tile_to_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 vector tiling path: occupied z8 tiles → tile bbox polygon →
+    covering geohash-4 cells (pandas-UDF polyfill), counted per tile.
+    Oracle = closed-form quantized span of the mercator tile bounds."""
+    tiles = tiling.tile_assignments(_points(spark, sf_dir), zooms=(8,))
+    tc = tiling.tile_to_cells(tiles.select("z", "x", "y"), precision=4)
+    return tc.groupBy("z", "x", "y").agg(F.count(F.lit(1)).alias("n_cells"))
 
 
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,8 +438,10 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 pointcell + token + center (G3/N1 S2 side) — rows-only (S2 ids
-    validated by kernel golden tests; not SQL-expressible)."""
+    """S2 pointcell + token + center (G3/N1 S2 side).  Oracle: the constant
+    gazetteer-coordinate → S2 mapping is computed by the LOCAL kernel at
+    oracle-generation time and inlined as VALUES (SURVEY §5 trick); the
+    oracle independently re-derives the points join + per-cell counts."""
     pts = _points(spark, sf_dir)
     s2c = udfs.s2_cell_udf(12)
     latf, lonf = udfs.s2_center_udfs()
@@ -350,8 +453,8 @@ def _q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "cell_id",
         udfs.s2_token_udf(F.col("cell_id")).alias("token"),
-        F.round(latf(F.col("cell_id")), 9).alias("center_lat"),
-        F.round(lonf(F.col("cell_id")), 9).alias("center_lon"),
+        latf(F.col("cell_id")).alias("center_lat"),
+        lonf(F.col("cell_id")).alias("center_lon"),
         "n",
     )
 
@@ -388,12 +491,19 @@ def _q_dedup_exact(spark, sf_dir):
     return dd.dedup_exact(src.pages(spark, sf_dir))
 
 
+# per-(band,key) bucket cap for the pair-emitting dedup queries: bounds
+# emission at bands × C(cap, 2) per bucket (the 100 TB guard; the fixture's
+# 16-replica clusters would otherwise emit ~C(16,2) per bucket per band).
+# The DuckDB oracle mirrors the cap exactly (row_number over id).
+DEDUP_MAX_BUCKET = 8
+
+
 def _q_dedup_minhash(spark, sf_dir):
-    return dd.dedup_minhash(src.pages(spark, sf_dir))
+    return dd.dedup_minhash(src.pages(spark, sf_dir), max_bucket=DEDUP_MAX_BUCKET)
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    return dd.dedup_simhash(src.pages(spark, sf_dir))
+    return dd.dedup_simhash(src.pages(spark, sf_dir), max_bucket=DEDUP_MAX_BUCKET)
 
 
 def _q_dedup_ngram(spark, sf_dir):
@@ -429,12 +539,34 @@ def _q_doc_fingerprint(spark, sf_dir):
 
 
 def _q_dedup_clusters(spark, sf_dir):
-    """Duplicate-cluster assignment: connected components (min-label
-    propagation) over SimHash near-dup pairs → cluster sizes.  Rows-only
-    (iterative; the algorithm is validated against a local union-find
-    oracle in tests/test_dedup_clusters.py on the MinHash pair set)."""
-    pairs = dd.dedup_simhash(src.pages(spark, sf_dir))
-    labels = dd.dedup_clusters(pairs)
+    """Duplicate-cluster assignment: connected components (min-label +
+    pointer-jumping propagation) over SimHash STAR edges (bucket member →
+    bucket-min, O(m) per bucket — replaces the round-1 all-pairs input) →
+    cluster sizes.  Rows-only (iterative; validated against a local
+    union-find oracle in tests/test_dedup_clusters.py)."""
+    edges = dd.simhash_star_edges(src.pages(spark, sf_dir))
+    labels = dd.dedup_clusters(edges)
+    return labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
+
+
+def _q_dedup_clusters_star(spark, sf_dir):
+    """MinHash star-edge clustering with exact-Jaccard edge verify: bucket
+    member → bucket-min edges (O(m)), each edge verified by exact shingle
+    Jaccard, connected components over the verified edges → cluster sizes.
+    The scale-safe replacement for clustering over all-pairs candidates."""
+    from pyspark import StorageLevel
+
+    from geospatial_spark.functions import caching
+
+    pages = src.pages(spark, sf_dir)
+    sh = caching.track(
+        dd.shingle_hashes(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges = dd.lsh_star_edges(dd.minhash_signatures(sh))
+    verified = dd.jaccard_verify(edges, sh, threshold_ppm=700_000).select(
+        "id_a", "id_b"
+    )
+    labels = dd.dedup_clusters(verified)
     return labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
 
 
@@ -483,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_geocode": _q_extract_geocode,
         "pip_join": _q_pip_join,
         "pip_join_salted": _q_pip_join_salted,
+        "pip_join_planned": _q_pip_join_planned,
         "pip_counts": _q_pip_counts,
         "tiles_z8": _q_tiles_z8,
         "tiles_z12": _q_tiles_z12,
@@ -499,6 +632,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_regions": _q_compact_regions,
         "vincenty_buckets": _q_vincenty_buckets,
         "ways_classify": _q_ways_classify,
+        "map_match": _q_map_match,
+        "cluster_cells": _q_cluster_cells,
+        "uncompact_roundtrip": _q_uncompact_roundtrip,
+        "flatten3d_stats": _q_flatten3d,
+        "clip_bbox": _q_clip_bbox,
+        "tile_to_cells": _q_tile_to_cells,
         "events_hourly": _q_events_hourly,
         "buffer_ring": _q_buffer_ring,
         "sessionize": _q_sessionize,
@@ -517,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "corpus_curate": _q_corpus_curate,
     }
 
@@ -529,6 +669,23 @@ def _quant_sql(coord: str, lo: float, span: float, cells: int) -> str:
     return (
         f"least({cells - 1}, greatest(0, "
         f"CAST(floor((({coord}) + {lo!r}) / {span!r} * {float(cells)!r}) AS BIGINT)))"
+    )
+
+
+def _geohash2_sql(qx: str, qy: str) -> str:
+    """Precision-2 geohash string from quantized (qx 5-bit, qy 5-bit) cell
+    coords: Morton interleave (lon gets the MSB — geo/geohash.py:_code) then
+    two base-32 chars.  Only used by the cluster_cells oracle (coarse cells;
+    fixed 10-bit width keeps the SQL closed-form)."""
+    bits = " + ".join(
+        f"((({qx}) >> {j}) & 1) * {1 << (2 * j + 1)} + "
+        f"((({qy}) >> {j}) & 1) * {1 << (2 * j)}"
+        for j in range(5)
+    )
+    code = f"({bits})"
+    return (
+        f"substr('{_B36[:10]}bcdefghjkmnpqrstuvwxyz', CAST({code} // 32 AS INT) + 1, 1) || "
+        f"substr('{_B36[:10]}bcdefghjkmnpqrstuvwxyz', CAST({code} % 32 AS INT) + 1, 1)"
     )
 
 
@@ -586,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_geocode": G("SELECT url, entity, lat, lon FROM points"),
         "pip_join": G(pip_sql),
         "pip_join_salted": G(pip_sql),
+        "pip_join_planned": G(pip_sql),
         "pip_counts": G(
             "SELECT r.region_id, count(*) AS n_points FROM points p JOIN regions r ON "
             "p.lon >= r.minx AND p.lon <= r.maxx AND p.lat >= r.miny AND p.lat <= r.maxy "
@@ -666,16 +824,108 @@ SELECT entity, color_idx, {_palette_case_sql('color_idx')} AS color_hex, n FROM 
             "CAST(5 AS INT) AS n_points FROM regions"
         ),
         "ways_classify": G(
-            """, rw AS (SELECT region_idx AS way_id, CAST(5 AS BIGINT) AS n_points,
-             (minx = minx AND miny = miny) AS is_closed FROM regions),
-tw AS (SELECT CAST(i // 10 AS BIGINT) + 1000 AS way_id, count(*) AS n_points,
-       (arg_min(lon, i) = arg_max(lon, i) AND arg_min(lat, i) = arg_max(lat, i)) AS is_closed
-       FROM gaz GROUP BY 1),
-w AS (SELECT * FROM rw UNION ALL SELECT * FROM tw)
-SELECT way_id, n_points, is_closed,
-       CASE WHEN is_closed THEN 'polygon' ELSE 'linestring' END AS kind FROM w"""
+            f""", {osql.ways_ctes()}
+SELECT way_id, CAST(len(coords) AS BIGINT) AS n_points,
+       (coords[1].lon = coords[-1].lon AND coords[1].lat = coords[-1].lat) AS is_closed,
+       coords[1].lon AS first_lon, coords[1].lat AS first_lat,
+       coords[-1].lon AS last_lon, coords[-1].lat AS last_lat,
+       CASE WHEN coords[1].lon = coords[-1].lon AND coords[1].lat = coords[-1].lat
+            THEN 'polygon' ELSE 'linestring' END AS kind
+FROM ways"""
+        ),
+        "map_match": G(
+            f""", {osql.ways_ctes()},
+nodes AS (SELECT way_id, CAST(o - 1 AS INT) AS node_seq,
+                 coords[o].lon AS nlon, coords[o].lat AS nlat
+          FROM ways, LATERAL (SELECT unnest(range(1, len(coords) + 1)) AS o) t),
+trace AS (SELECT i // 10 AS traj_id, CAST(i % 10 AS INT) AS seq,
+                 CAST(lat * 1e6 AS BIGINT) / 1000000.0 AS tlat,
+                 CAST(lon * 1e6 AS BIGINT) / 1000000.0 AS tlon
+          FROM gaz),
+mcand AS (SELECT t.traj_id, t.seq, n.way_id AS snap_way, n.node_seq AS snap_seq,
+                 {hav.format(lat1="t.tlat", lon1="t.tlon", lat2="n.nlat", lon2="n.nlon")} AS dist_m
+          FROM trace t CROSS JOIN nodes n),
+mr AS (SELECT *, row_number() OVER (PARTITION BY traj_id, seq
+       ORDER BY dist_m ASC, snap_way ASC, snap_seq ASC) AS rk FROM mcand)
+SELECT traj_id, seq, snap_way, snap_seq, round(dist_m, 3) AS dist_m
+FROM mr WHERE rk = 1"""
+        ),
+        "cluster_cells": G(
+            f""", cq AS (SELECT {_quant_sql('lon', 180.0, 360.0, 32)} AS qx,
+                   {_quant_sql('lat', 90.0, 180.0, 32)} AS qy,
+                   CAST(floor(lat * 1e6 + 0.5) AS BIGINT) AS lat6,
+                   CAST(floor(lon * 1e6 + 0.5) AS BIGINT) AS lon6 FROM points),
+cc AS (SELECT {_geohash2_sql('qx', 'qy')} AS cell, lat6, lon6 FROM cq),
+cg AS (SELECT cell, count(*) AS n, sum(lat6) AS slat, sum(lon6) AS slon
+       FROM cc GROUP BY 1)
+SELECT cell, n, CAST(floor(slat / n) AS BIGINT) AS c_lat_e6,
+       CAST(floor(slon / n) AS BIGINT) AS c_lon_e6 FROM cg"""
+        ),
+        "uncompact_roundtrip": G(
+            f""", qr AS (SELECT {_quant_sql('minx', 180.0, 360.0, 8192)} AS x0,
+                   {_quant_sql('maxx', 180.0, 360.0, 8192)} AS x1,
+                   {_quant_sql('miny', 90.0, 180.0, 4096)} AS y0,
+                   {_quant_sql('maxy', 90.0, 180.0, 4096)} AS y1 FROM regions),
+cov AS (SELECT DISTINCT qx, qy FROM qr,
+        LATERAL (SELECT unnest(range(qr.x0, qr.x1 + 1)) AS qx) a,
+        LATERAL (SELECT unnest(range(qr.y0, qr.y1 + 1)) AS qy) b)
+SELECT CAST(5 AS INT) AS res, count(*) AS n_cells FROM cov"""
+        ),
+        "flatten3d_stats": G(
+            "SELECT region_id, CAST(1 AS INT) AS n_shells, CAST(1 AS INT) AS n_holes, "
+            "CAST(5 AS INT) AS n_points, "
+            "minx AS sminx, miny AS sminy, maxx AS smaxx, maxy AS smaxy, "
+            "minx + 0.25 * (maxx - minx) AS hminx, miny + 0.25 * (maxy - miny) AS hminy, "
+            "maxx - 0.25 * (maxx - minx) AS hmaxx, maxy - 0.25 * (maxy - miny) AS hmaxy "
+            "FROM regions"
+        ),
+        "clip_bbox": G(
+            f""", ov AS (SELECT *, (minx <= {_CLIP_WINDOW[2]!r} AND maxx >= {_CLIP_WINDOW[0]!r}
+              AND miny <= {_CLIP_WINDOW[3]!r} AND maxy >= {_CLIP_WINDOW[1]!r}) AS hit FROM regions)
+SELECT region_id,
+       CASE WHEN hit THEN 4 END AS n_vertices,
+       CASE WHEN hit THEN greatest(minx, {_CLIP_WINDOW[0]!r}) END AS cminx,
+       CASE WHEN hit THEN greatest(miny, {_CLIP_WINDOW[1]!r}) END AS cminy,
+       CASE WHEN hit THEN least(maxx, {_CLIP_WINDOW[2]!r}) END AS cmaxx,
+       CASE WHEN hit THEN least(maxy, {_CLIP_WINDOW[3]!r}) END AS cmaxy
+FROM ov"""
+        ),
+        "tile_to_cells": G(
+            f""", tt AS (SELECT DISTINCT 8 AS z, {udfs.tile_x_sql('lon', 8)} AS x,
+                   {udfs.tile_y_sql('lat', 8)} AS y FROM points),
+tb AS (SELECT z, x, y,
+       x / 256.0 * 360.0 - 180.0 AS w, (x + 1) / 256.0 * 360.0 - 180.0 AS e,
+       degrees(atan((exp(pi() * (1.0 - 2.0 * (y + 1) / 256.0)) -
+                     exp(-(pi() * (1.0 - 2.0 * (y + 1) / 256.0)))) / 2.0)) AS s,
+       degrees(atan((exp(pi() * (1.0 - 2.0 * y / 256.0)) -
+                     exp(-(pi() * (1.0 - 2.0 * y / 256.0)))) / 2.0)) AS n
+       FROM tt)
+SELECT z, x, y,
+       ({_quant_sql('e', 180.0, 360.0, 1024)} - {_quant_sql('w', 180.0, 360.0, 1024)} + 1) *
+       ({_quant_sql('n', 90.0, 180.0, 1024)} - {_quant_sql('s', 90.0, 180.0, 1024)} + 1) AS n_cells
+FROM tb"""
         ),
         "buffer_ring": _buffer_ring_oracle_sql(),
+        "s2_cells": G(
+            f""", {osql.s2_gaz_map_values(12)}
+SELECT m.cell_id, m.token, m.center_lat, m.center_lon, count(*) AS n
+FROM points p JOIN s2m m ON p.lat = m.lat AND p.lon = m.lon
+GROUP BY 1, 2, 3, 4"""
+        ),
+        "s2_tiles": G(
+            f""", {osql.s2_gaz_map_values(12)}
+SELECT 12 AS z, {udfs.tile_x_sql('p.lon', 12)} AS x, {udfs.tile_y_sql('p.lat', 12)} AS y,
+       m.cell_id, count(*) AS n_points
+FROM points p JOIN s2m m ON p.lat = m.lat AND p.lon = m.lon
+GROUP BY 1, 2, 3, 4"""
+        ),
+        "vincenty_buckets": G(
+            f""", {osql.vincenty_gaz_map_values()}
+SELECT vm.km_bucket, count(*) AS n
+FROM points p JOIN vm ON p.lat = vm.lat AND p.lon = vm.lon
+GROUP BY 1"""
+        ),
+        "compact_regions": osql.compact_regions_values_sql(),
         "sessionize": sess_ops.sessionize_sql(1800),
         "events_hourly": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
@@ -684,8 +934,8 @@ SELECT way_id, n_points, is_closed,
             "FROM events GROUP BY 1, 2"
         ),
         "dedup_exact": otxt.dedup_exact_sql(),
-        "dedup_minhash": otxt.dedup_minhash_sql(),
-        "dedup_simhash": otxt.dedup_simhash_sql(),
+        "dedup_minhash": otxt.dedup_minhash_sql(max_bucket=DEDUP_MAX_BUCKET),
+        "dedup_simhash": otxt.dedup_simhash_sql(max_bucket=DEDUP_MAX_BUCKET),
         "dedup_ngram": otxt.dedup_ngram_sql(),
         "dedup_embed": otxt.dedup_embed_sql(),
         "ann_topk": otxt.ann_topk_sql(),

@@ -87,6 +87,8 @@ def main() -> None:
         "media_features",
     ]
 
+    from geospatial_spark.functions import caching
+
     timings: dict[str, float] = {}
     rowcounts: dict[str, int] = {}
     for name in headline:
@@ -99,9 +101,20 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         rowcounts[name] = n
+        # release operator-internal persists so cached blocks never
+        # accumulate across the loop (round-1 advice)
+        caching.release_all()
         log(f"{name:>18}: {dt:7.2f}s  {n:>9} rows")
 
     total = round(sum(timings.values()), 3)
+    # METRIC DEFINITIONS (round-1 review asked for distinct names):
+    # *_e2e_rows_per_sec      — output rows / end-to-end query seconds,
+    #                           INCLUDING the pages→points derivation lineage
+    #                           recomputed inside the query (driver-contract
+    #                           semantics; what BENCH_r{N}.json records).
+    # scaling_bench.py emits *_pipeline_rows_per_sec — steady-state
+    # throughput of the materialized pipeline stage alone (warmed input,
+    # best-of-3) — the two are NOT comparable; see BENCH/BASELINE.md §1.
     join_rps = (
         round(rowcounts.get("pip_join", 0) / timings["pip_join"], 1)
         if timings.get("pip_join")
@@ -130,8 +143,10 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "rows": rowcounts,
-                "spatial_join_rows_per_sec": join_rps,
-                "tile_assignments_per_sec": tile_aps,
+                "spatial_join_rows_per_sec": join_rps,  # legacy r1 key
+                "spatial_join_e2e_rows_per_sec": join_rps,
+                "tile_assignments_per_sec": tile_aps,  # legacy r1 key
+                "tile_assignments_e2e_per_sec": tile_aps,
             }
         ),
         flush=True,

@@ -48,6 +48,21 @@ def minhash_perm_consts() -> list[tuple[int, int]]:
     ]
 
 
+def auto_planes(n_rows: int, target_bucket: int = 64, lo: int = 8, hi: int = 24) -> int:
+    """SRP plane count scaled to corpus size: 2^planes buckets ≈ n/target.
+
+    The 100 TB knob the round-1 review flagged: a FIXED plane count means
+    bucket population grows linearly with N (within-bucket pair work ~
+    N²/2^planes).  Deriving planes from N keeps expected occupancy at
+    ``target_bucket`` regardless of corpus size; [lo, hi] bounds keep the
+    bucket id in int64 and the plane set broadcast-small."""
+    import math
+
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(2.0, n_rows / target_bucket)))))
+
+
 def srp_planes(n_planes: int, dim: int) -> list[list[int]]:
     """Signed-random-projection hyperplanes as exact ints (centered LCG)."""
     half = C.LCG_M // 2

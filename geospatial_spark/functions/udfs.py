@@ -391,3 +391,94 @@ def color_hex_from_idx(idx: Column) -> Column:
     for i, c in enumerate(COLOR_PALETTE):
         expr = F.when(idx == i, F.lit(c)).otherwise(expr)
     return expr
+
+
+# --------------------------------------------------------------------------
+# flatten_3d (U6) and rect clip (U10) driver-evidence UDFs
+# --------------------------------------------------------------------------
+
+
+def flatten3d_stats_udf():
+    """U6 flatten_3d end-to-end evidence (reference gutils.py:323-365):
+    build an ISO-Z WKB polygon (shell + centered hole, all vertices on a
+    z-plane), strip Z via ``geo.geom.flatten_3d_wkb``, parse the 2D result
+    and emit ring counts + per-ring bboxes.  The input doubles round-trip
+    through the 3D byte encoding, so the oracle compare exercises the real
+    codec — not derived constants."""
+
+    @pandas_udf(
+        "n_shells int, n_holes int, n_points int, "
+        "sminx double, sminy double, smaxx double, smaxy double, "
+        "hminx double, hminy double, hmaxx double, hmaxy double"
+    )
+    def _f3(
+        minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series,
+        zval: pd.Series,
+    ) -> pd.DataFrame:
+        rows = []
+        for a, b, c, d, z in zip(minx, miny, maxx, maxy, zval):
+            w = c - a
+            h = d - b
+            ha, hb = a + 0.25 * w, b + 0.25 * h
+            hc, hd = c - 0.25 * w, d - 0.25 * h
+            shell = [(a, b), (c, b), (c, d), (a, d)]
+            hole = [(ha, hb), (hc, hb), (hc, hd), (ha, hd)]
+            wkb3 = gm.to_wkb_3d(gm.polygon(shell, [hole]), z=float(z))
+            g = gm.parse_wkb(gm.flatten_3d_wkb(wkb3))
+            sh = g.parts[0][0]
+            ho = g.parts[0][1]
+            rows.append(
+                (
+                    len(g.parts),
+                    sum(len(p) - 1 for p in g.parts),
+                    sum(len(p[0]) for p in g.parts),
+                    float(sh[:, 0].min()), float(sh[:, 1].min()),
+                    float(sh[:, 0].max()), float(sh[:, 1].max()),
+                    float(ho[:, 0].min()), float(ho[:, 1].min()),
+                    float(ho[:, 0].max()), float(ho[:, 1].max()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_shells", "n_holes", "n_points",
+                "sminx", "sminy", "smaxx", "smaxy",
+                "hminx", "hminy", "hmaxx", "hmaxy",
+            ],
+        )
+
+    return _f3
+
+
+def clip_rect_udf(wminx: float, wminy: float, wmaxx: float, wmaxy: float):
+    """U10 rect-overlay evidence: Sutherland–Hodgman clip of the geometry's
+    shell ring against a fixed window (``geo.geom.clip_ring_to_rect``,
+    G2 grid-slicing analogue).  Emits the clipped ring's vertex count and
+    bbox; NULLs when the clip is empty."""
+
+    @pandas_udf(
+        "n_vertices int, cminx double, cminy double, cmaxx double, cmaxy double"
+    )
+    def _clip(wkb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in wkb:
+            if buf is None:
+                rows.append((None, None, None, None, None))
+                continue
+            g = gm.parse_wkb(bytes(buf))
+            ring = gm.clip_ring_to_rect(g.parts[0][0], wminx, wminy, wmaxx, wmaxy)
+            if ring is None:
+                rows.append((None, None, None, None, None))
+            else:
+                rows.append(
+                    (
+                        len(ring) - 1,
+                        float(ring[:, 0].min()), float(ring[:, 1].min()),
+                        float(ring[:, 0].max()), float(ring[:, 1].max()),
+                    )
+                )
+        return pd.DataFrame(
+            rows, columns=["n_vertices", "cminx", "cminy", "cmaxx", "cmaxy"]
+        )
+
+    return _clip

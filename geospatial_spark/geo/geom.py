@@ -432,3 +432,20 @@ def flatten_3d_wkb(buf: bytes) -> bytes:
     """Z-strip: any-dimension WKB → 2D WKB (holes preserved; divergence from
     reference gutils.py:354-364 which drops holes — documented bug-fix)."""
     return to_wkb(parse_wkb(buf))
+
+
+def to_wkb_3d(geom: Geometry, z: float = 0.0) -> bytes:
+    """ISO-Z WKB writer (geom type + 1000, constant z plane) — produces the
+    3D input that ``flatten_3d_wkb`` strips.  The engine itself never emits
+    3D; this exists so the U6 flatten path can be driven end-to-end with
+    real bytes (reference gutils.py:323-365 consumes external 3D sources)."""
+    if geom.geom_type != "Polygon":
+        raise ValueError("to_wkb_3d supports Polygon only")
+    out = bytearray()
+    rings = geom.parts[0]
+    out += struct.pack("<BII", 1, WKB_POLYGON + _Z_OFFSET_ISO, len(rings))
+    for r in rings:
+        out += struct.pack("<I", len(r))
+        r3 = np.column_stack([r, np.full(len(r), z, dtype=np.float64)])
+        out += r3.astype("<f8").tobytes()
+    return bytes(out)

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,6 +95,7 @@ def write_partitioned(
     n_partitions: int = 16,
     batch_size: int = 4,
     fail_after_batches: int | None = None,
+    fail_mid_commit: int | None = None,
     range_bounds: list[int] | None = None,
 ) -> dict[str, Any]:
     """Resumably materialize ``df`` into ``root/table``.
@@ -106,7 +108,20 @@ def write_partitioned(
 
     Skips partitions already committed (resume).  ``fail_after_batches``
     injects a crash for the resume test.  Returns the final manifest.
+
+    Crash atomicity (round-1 advice): every batch attempt writes into a
+    FRESH ``__batch=<unique>`` subtree; the manifest records which batch
+    directory holds each committed partition and ``read_table`` scans ONLY
+    manifest-listed batches — a kill between the data write and the
+    manifest swap leaves an orphan directory that no reader ever sees (and
+    the next writer garbage-collects).  ``range_bounds`` are persisted in
+    the manifest and REUSED on resume, so a rerun whose recomputed bounds
+    drift can never mis-assign rows relative to committed partitions.
     """
+    man = current_manifest(root, table)
+    if man is not None and man.get("range_bounds") is not None:
+        # resume: the committed partitioning wins over recomputed bounds
+        range_bounds = man["range_bounds"]
     if range_bounds is not None:
         n_partitions = len(range_bounds) + 1
         pid_expr = F.lit(len(range_bounds))
@@ -121,25 +136,38 @@ def write_partitioned(
 
     done = committed_partitions(root, table)
     todo = [p for p in range(n_partitions) if p not in done]
-    man = current_manifest(root, table) or {
-        "table": table,
-        "schema": df.schema.simpleString(),
-        "stage": stage,
-        "n_partitions": n_partitions,
-        "version": 0,
-        "partitions": [],
-    }
+    if man is None:
+        man = {
+            "table": table,
+            "schema": df.schema.simpleString(),
+            "stage": stage,
+            "n_partitions": n_partitions,
+            "version": 0,
+            "range_bounds": range_bounds,
+            "partitions": [],
+        }
+    _gc_orphan_batches(root, table, man)
 
     batches = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
     for bi, batch in enumerate(batches):
         if fail_after_batches is not None and bi >= fail_after_batches:
             raise RuntimeError(f"injected failure before batch {bi} (resume test)")
-        part = staged.filter(F.col("__pid").isin(batch))
+        bname = f"b{man['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        part = staged.filter(F.col("__pid").isin(batch)).withColumn(
+            "__batch", F.lit(bname)
+        )
         (
             part.write.mode("append")
-            .partitionBy("__pid")
+            .partitionBy("__batch", "__pid")
             .parquet(_data_dir(root, table))
         )
+        if fail_mid_commit is not None and bi >= fail_mid_commit:
+            # crash INSIDE the commit window: data written, manifest not yet
+            # swapped — the batch dir is an orphan the resume must ignore
+            raise RuntimeError(
+                f"injected failure after data write of batch {bi}, before "
+                "manifest swap (crash-window resume test)"
+            )
         stats = (
             part.groupBy("__pid")
             .agg(
@@ -159,6 +187,7 @@ def write_partitioned(
             man["partitions"].append(
                 {
                     "partition_id": p,
+                    "batch": bname,
                     "row_count": r["row_count"] if r else 0,
                     "key_min": r["key_min"] if r else None,
                     "key_max": r["key_max"] if r else None,
@@ -172,11 +201,41 @@ def write_partitioned(
     return man
 
 
+def _gc_orphan_batches(root: str, table: str, man: dict[str, Any]) -> None:
+    """Remove ``__batch=...`` directories no manifest record references —
+    the leftovers of a write that was killed before its manifest swap.
+    Single-writer protocol (documented); readers never see these dirs
+    either way, GC just reclaims the space."""
+    import shutil
+
+    dd = _data_dir(root, table)
+    if not os.path.isdir(dd):
+        return
+    live = {rec.get("batch") for rec in man.get("partitions", [])}
+    for name in os.listdir(dd):
+        if name.startswith("__batch=") and name.split("=", 1)[1] not in live:
+            shutil.rmtree(os.path.join(dd, name), ignore_errors=True)
+
+
 def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
-    """Read only COMMITTED partitions (manifest-pruned scan)."""
-    done = committed_partitions(root, table)
+    """Read only COMMITTED data: manifest-listed batch directories, pruned
+    further to committed partition ids (both are partition columns, so the
+    filters prune at the file-listing level — orphan batches are never
+    touched)."""
+    man = current_manifest(root, table)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest for {table} under {root}")
+    done = {rec["partition_id"] for rec in man["partitions"]}
+    batches = sorted(
+        {rec["batch"] for rec in man["partitions"] if rec.get("batch")}
+    )
     base = spark.read.parquet(_data_dir(root, table))
-    return base.filter(F.col("__pid").isin(list(done))).drop("__pid")
+    return (
+        base.filter(
+            F.col("__batch").isin(batches) & F.col("__pid").isin(list(done))
+        )
+        .drop("__batch", "__pid")
+    )
 
 
 def lineage(spark: SparkSession, root: str, table: str) -> DataFrame:

@@ -78,10 +78,10 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("id").agg(*TH.minhash_min_aggs("h"))
 
 
-def lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """Banded LSH: (id_a < id_b) pairs sharing at least one band key."""
+def _minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(id, band, key) relation — one row per (doc, LSH band)."""
     keys = sigs.select("id", *[TH.band_key(b) for b in range(TH.MINHASH_BANDS)])
-    bands = keys.select(
+    return keys.select(
         "id",
         F.explode(
             F.array(
@@ -94,6 +94,47 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _cap_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Deterministic per-bucket size cap: keep the `max_bucket` smallest ids
+    of each (band, key) bucket (row_number over id — SQL-mirrorable).
+
+    THE 100 TB guard: without a cap, a bucket of m near-identical docs emits
+    O(m²) candidate pairs — a million-member boilerplate cluster explodes.
+    With the cap, pair emission is bounded by bands × C(max_bucket, 2) per
+    bucket; the dropped members are still recovered by clustering via the
+    star-edge path (lsh_star_edges), which stays O(m).  Use
+    ``lsh_bucket_stats`` to surface how many buckets overflowed."""
+    if max_bucket is None:
+        return bands
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "key").orderBy("id")
+    return (
+        bands.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_bucket)
+        .drop("__rk")
+    )
+
+
+def lsh_bucket_stats(sigs: DataFrame, max_bucket: int) -> DataFrame:
+    """One-row overflow report: (n_buckets, n_over_cap, max_bucket_size).
+    Cheap partial-agg job; pipelines log it next to capped candidate runs
+    so truncation is never silent."""
+    sizes = _minhash_bands(sigs).groupBy("band", "key").count()
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("count") > max_bucket).cast("long")).alias("n_over_cap"),
+        F.max("count").alias("max_bucket_size"),
+    )
+
+
+def lsh_candidates(sigs: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Banded LSH: (id_a < id_b) pairs sharing at least one band key.
+
+    ``max_bucket`` bounds per-bucket pair emission (see _cap_buckets)."""
+    bands = _cap_buckets(_minhash_bands(sigs), max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -105,6 +146,23 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
             "inner",
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_star_edges(sigs: DataFrame) -> DataFrame:
+    """Scale-safe candidate EDGES for clustering: each bucket member links
+    to the bucket-minimum id — O(m) edges per bucket instead of O(m²) pairs,
+    with identical connected components over the candidate graph (a star is
+    spanning).  Feed through jaccard_verify + dedup_clusters."""
+    from pyspark.sql import Window
+
+    bands = _minhash_bands(sigs)
+    w = Window.partitionBy("band", "key")
+    return (
+        bands.withColumn("__mn", F.min("id").over(w))
+        .filter(F.col("id") != F.col("__mn"))
+        .select(F.col("__mn").alias("id_a"), F.col("id").alias("id_b"))
         .distinct()
     )
 
@@ -152,16 +210,23 @@ def dedup_minhash(
     id_col: str = "url",
     text_col: str = "text",
     threshold_ppm: int = 700_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash(64) + LSH(16×4) near-dup pairs with exact-Jaccard verify.
 
     The shingle relation feeds both the signature agg and the verify —
     persisted (memory-and-disk) so the text → shingle → hash pipeline runs
-    once, not twice."""
+    once, not twice; the persist is registered with functions.caching so
+    long-lived sessions can release it (round-1 advice).  ``max_bucket``
+    caps per-bucket pair emission (the 100 TB guard — see _cap_buckets)."""
     from pyspark import StorageLevel
 
-    sh = shingle_hashes(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidates(minhash_signatures(sh))
+    from ..functions import caching
+
+    sh = caching.track(
+        shingle_hashes(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = lsh_candidates(minhash_signatures(sh), max_bucket)
     return jaccard_verify(cand, sh, threshold_ppm)
 
 
@@ -175,17 +240,9 @@ def simhash_table(df: DataFrame, id_col: str = "url", text_col: str = "text") ->
     return bits.select("id", TH.simhash_from_bits().alias("simhash"))
 
 
-def dedup_simhash(
-    df: DataFrame,
-    id_col: str = "url",
-    text_col: str = "text",
-    max_hamming: int = 3,
-) -> DataFrame:
-    """SimHash near-dup pairs: banded (4×15-bit) candidates, exact hamming
-    filter.  Any pair with hamming <= 3 shares at least one of 4 bands
-    (pigeonhole) → exact recall at this radius."""
-    st = simhash_table(df, id_col, text_col)
-    bands = st.select(
+def _simhash_bands(st: DataFrame) -> DataFrame:
+    """(id, simhash, band, key) — 4 bands × 15 bits each."""
+    return st.select(
         "id",
         "simhash",
         F.explode(
@@ -202,6 +259,33 @@ def dedup_simhash(
             )
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def dedup_simhash(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded (4×15-bit) candidates, exact hamming
+    filter.  Any pair with hamming <= 3 shares at least one of 4 bands
+    (pigeonhole) → exact recall at this radius WITHOUT a cap; ``max_bucket``
+    trades that guarantee for bounded per-bucket emission (the capped subset
+    keeps the `max_bucket` smallest ids per bucket — deterministic and
+    oracle-mirrorable; clustering consumers should use simhash_star_edges
+    instead, which needs no cap)."""
+    st = simhash_table(df, id_col, text_col)
+    bands = _simhash_bands(st)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key").orderBy("id")
+        bands = (
+            bands.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_bucket)
+            .drop("__rk")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -222,6 +306,43 @@ def dedup_simhash(
     )
     return (
         pairs.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_star_edges(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """O(m)-per-bucket SimHash candidate edges for clustering: bucket member
+    → bucket-min id, exact hamming filter on the edge.  Same connected
+    components as the all-pairs graph whenever the bucket-min is within
+    radius of each member (true for the near-clique dup clusters this
+    targets); a member outside the min's radius but within another
+    member's is a recall approximation — documented trade for O(m²)→O(m)."""
+    from pyspark.sql import Window
+
+    bands = _simhash_bands(simhash_table(df, id_col, text_col))
+    w = Window.partitionBy("band", "key")
+    edges = (
+        bands.withColumn("__mn", F.min("id").over(w))
+        .withColumn("__mn_sh", F.min_by("simhash", "id").over(w))
+        .filter(F.col("id") != F.col("__mn"))
+        .select(
+            F.col("__mn").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.col("__mn_sh").alias("sh_a"),
+            F.col("simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        edges.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -281,7 +402,7 @@ def dedup_embed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     threshold_ppm: int = 300_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup: SRP-LSH bucket blocking + exact-int cosine.
@@ -289,7 +410,13 @@ def dedup_embed(
     cosine_ppm = floor(1e6 * dot / sqrt(na*nb)) over 1e6-scaled int vectors —
     exact-int dot/norms, deterministic double sqrt/div in both engines.
     Same-bucket blocking is the scale path (recall < 1 by design; the
-    brute-force oracle-matched exact variant is similarity.ann_topk)."""
+    brute-force oracle-matched exact variant is similarity.ann_topk).
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (texthash.auto_planes) so bucket occupancy stays constant as N grows —
+    the fixed-2^8-buckets scale flaw from the round-1 review."""
+    if n_planes is None:
+        n_planes = TH.auto_planes(emb_df.count())
     planes = TH.srp_planes(n_planes, dim)
     base = emb_df.select(
         F.col(id_col).alias("id"), TH.emb_scaled(F.col(vec_col), dim).alias("v")
@@ -348,6 +475,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         neigh = edges.join(
             labels.withColumnRenamed("id", "id_b"), "id_b"
@@ -356,6 +484,22 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             labels.unionByName(neigh)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label ← min(label, label(label)).  Halving the
+        # propagation distance each round makes convergence O(log diameter)
+        # instead of O(diameter) — long path components (chained near-dups)
+        # no longer hit the iteration cap.
+        lab2 = new_labels.select(
+            F.col("id").alias("label"), F.col("label").alias("label2")
+        )
+        new_labels = (
+            new_labels.join(lab2, "label", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -367,4 +511,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # never return silently-wrong labels (round-1 advice): with pointer
+        # jumping this needs diameter > 2^max_iter — a data-model red flag.
+        raise RuntimeError(
+            f"dedup_clusters did not converge after {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster"))

@@ -115,8 +115,11 @@ def pip_join(
         cells = polygon_cells(polys_df, poly_id, precision, geometry, keep_geometry=True)
         # the point side feeds the heavy-cell histogram AND the probe join —
         # persist so extraction/encode lineage runs once (at 100 TB this is
-        # a disk-backed materialization, the standard two-pass skew pattern)
-        pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
+        # a disk-backed materialization, the standard two-pass skew pattern);
+        # registered with functions.caching so long-lived sessions release it
+        from ..functions import caching
+
+        pts = caching.track(pts.persist(StorageLevel.MEMORY_AND_DISK))
         heavy = (
             pts.groupBy("__cell")
             .count()

@@ -86,9 +86,14 @@ def ann_lsh_topk(
     dim: int = 64,
     k: int = 10,
     query_mod: int = 50,
-    n_planes: int = 8,
+    n_planes: int | None = None,
 ) -> DataFrame:
-    """SRP-LSH approximate top-k: candidates share the query's bucket."""
+    """SRP-LSH approximate top-k: candidates share the query's bucket.
+
+    ``n_planes=None`` scales the bucket count with corpus size
+    (texthash.auto_planes) so per-bucket candidate work stays constant."""
+    if n_planes is None:
+        n_planes = TH.auto_planes(emb_df.count())
     planes = TH.srp_planes(n_planes, dim)
     base = _scaled(emb_df, id_col, vec_col, dim).withColumn(
         "bucket", TH.srp_bucket(F.col("v"), planes)
@@ -119,6 +124,22 @@ def ann_lsh_topk(
     )
 
 
+def ivf_centroid_step(n_rows: int, min_centroids: int = 16) -> int:
+    """Deterministic-sampling stride giving ~√N centroids: every id with
+    id % step == 1 is a centroid.
+
+    √N is the classic IVF balance point (assignment work N×C and per-list
+    scan N/C·nprobe both grow as N^1.5 — vs N²/mod for the round-1 fixed
+    modulus, whose centroid count AND broadcast size grew linearly with N).
+    math.floor(math.sqrt()) mirrors the oracle's floor(sqrt()) exactly."""
+    import math
+
+    if n_rows <= 0:
+        return 1
+    c = max(min_centroids, int(math.floor(math.sqrt(n_rows))))
+    return max(1, n_rows // c)
+
+
 def ann_ivf_topk(
     emb_df: DataFrame,
     *,
@@ -127,23 +148,24 @@ def ann_ivf_topk(
     dim: int = 64,
     k: int = 10,
     query_mod: int = 50,
-    centroid_mod: int = 31,
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the second scale path besides SRP-LSH.
 
-    Coarse "centroids" are a deterministic sample of the corpus itself
-    (vec_id % centroid_mod == 1 — IVF-flat with sampled centroids; a real
-    deployment would k-means them, which is a training step outside the
-    deterministic-oracle scope).  Every vector is assigned to its nearest
-    centroid (exact-int cosine, ties → smaller centroid id); queries probe
-    their `nprobe` nearest centroid lists and exact-re-rank.
+    Coarse "centroids" are a deterministic ~√N sample of the corpus itself
+    (id % ivf_centroid_step(N) == 1 — IVF-flat with sampled centroids; a
+    real deployment would k-means them, which is a training step outside
+    the deterministic-oracle scope).  Every vector is assigned to its
+    nearest centroid (exact-int cosine, ties → smaller centroid id);
+    queries probe their `nprobe` nearest centroid lists and exact-re-rank.
 
-    Plan shape: assignment is a broadcast cross join N×C + window rank
-    (C tiny); the probe join is an equi-join on centroid id — one shuffle
+    Plan shape: assignment is a broadcast cross join N×√N + window rank
+    (the broadcast side is √N rows — bounded, unlike the round-1 linear
+    rule); the probe join is an equi-join on centroid id — one shuffle
     keyed by list id, AQE-splittable when a list is hot."""
+    step = ivf_centroid_step(emb_df.count())
     base = _scaled(emb_df, id_col, vec_col, dim)
-    cents = base.filter(F.col("id") % centroid_mod == 1).select(
+    cents = base.filter(F.col("id") % step == 1).select(
         F.col("id").alias("cent_id"),
         F.col("v").alias("cv"),
         F.col("norm2").alias("cn2"),

@@ -82,7 +82,9 @@ def tile_to_cells(
     from ..geo import tiles as tl
 
     @pandas_udf(ArrayType(StringType()))
-    def _cover(z: pd.Series, xx: pd.Series, yy: pd.Series) -> pd.Series:
+    def _cover(z, xx, yy):
+        # annotations omitted: `pd` is function-local, so string type hints
+        # (from __future__ annotations) would not resolve in module globals
         out = []
         for zz, xv, yv in zip(z, xx, yy):
             w, s, e, n = tl.tile_bounds(np.array([xv]), np.array([yv]), int(zz))

@@ -70,12 +70,15 @@ def choose_pip_plan(
     *,
     sample_fraction: float = 0.01,
     skew_ratio: float = 8.0,
+    force_strategy: str | None = None,
 ) -> PipPlan:
     """Pick strategy + salt for pip_join.
 
     One count on the polygon side (tiny), one sampled cell histogram on the
     point side.  Salt factor ≈ how many times the heaviest sampled cell
-    exceeds the mean cell load, capped at 16."""
+    exceeds the mean cell load, capped at 16.  ``force_strategy`` pins the
+    broadcast/shuffle choice (e.g. to exercise the salted shuffle path on a
+    broadcast-sized input) while still deriving salt/heavy-cell stats."""
     precision = choose_precision(polys_df)
     n_polys = polys_df.count()
     cw, ch = _CELL_DEG[precision]
@@ -87,6 +90,8 @@ def choose_pip_plan(
         1.0, ((row["w"] or 1.0) / cw + 1) * ((row["h"] or 1.0) / ch + 1)
     )
     strategy = "broadcast" if est_cells <= BROADCAST_LIMIT_CELLS else "shuffle"
+    if force_strategy is not None:
+        strategy = force_strategy
 
     salt, heavy_rows = 1, 1 << 62
     if strategy == "shuffle":

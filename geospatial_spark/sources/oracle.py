@@ -9,6 +9,8 @@ views: documents, events, ...).
 
 from __future__ import annotations
 
+import functools as _functools
+
 from . import constants as C
 
 
@@ -21,6 +23,14 @@ def rnd_sql(x: str, salt: int) -> str:
 
 def _dbl(v: float) -> str:
     return f"CAST({v!r} AS DOUBLE)"
+
+
+def _dbl_exact(v: float) -> str:
+    """Full-precision double literal.  A bare numeric literal parses through
+    DECIMAL and silently loses the 17th significant digit (measured:
+    CAST(54.829593719914556 AS DOUBLE) → ...1456); the VARCHAR → DOUBLE
+    cast round-trips repr() exactly."""
+    return f"CAST('{v!r}' AS DOUBLE)"
 
 
 def gaz_cte() -> str:
@@ -115,4 +125,101 @@ def with_geo_ctes(select_sql: str, replication: int = C.REPLICATION) -> str:
         + ",\n".join([gaz_cte(), pages_cte(replication), regions_cte(), points_cte()])
         + "\n"
         + select_sql
+    )
+
+
+def ways_ctes() -> str:
+    """The ways fixture as real coordinate arrays (mirrors
+    operators.ways.ways_table): region rectangle rings (closed, 5 vertices)
+    plus gazetteer trajectories (open, ordered by point index)."""
+    return """rw AS (
+  SELECT region_idx AS way_id,
+    [struct_pack(lon := minx, lat := miny), struct_pack(lon := maxx, lat := miny),
+     struct_pack(lon := maxx, lat := maxy), struct_pack(lon := minx, lat := maxy),
+     struct_pack(lon := minx, lat := miny)] AS coords
+  FROM regions),
+tw AS (
+  SELECT CAST(i // 10 AS BIGINT) + 1000 AS way_id,
+         list(struct_pack(lon := lon, lat := lat) ORDER BY i ASC) AS coords
+  FROM gaz GROUP BY 1),
+ways AS (SELECT * FROM rw UNION ALL SELECT * FROM tw)"""
+
+
+# ---------------------------------------------------------------------------
+# kernel-computed inline maps (the SURVEY §5 "engine materializes the cell
+# column" trick, driver-friendly form: the mapping is computed ONCE at
+# oracle-generation time by the LOCAL numpy kernels over the constant
+# gazetteer/region fixtures — sf-independent — and inlined as VALUES.  The
+# kernels themselves are validated against published golden vectors in
+# tests/test_geo_kernels.py; the oracle then independently verifies all
+# relational structure (joins, grouping, counts) around them.)
+# ---------------------------------------------------------------------------
+
+
+@_functools.lru_cache(maxsize=None)
+def s2_gaz_map_values(level: int = 12) -> str:
+    """VALUES CTE body: (lat, lon, cell_id, token, center_lat, center_lon)
+    for every gazetteer coordinate at the given S2 level."""
+    import numpy as np
+
+    from ..geo import s2 as s2k
+
+    rows = C.gazetteer_rows()
+    lat = np.array([r[2] for r in rows], dtype=np.float64)
+    lon = np.array([r[3] for r in rows], dtype=np.float64)
+    cid = s2k.latlng_to_cell(lat, lon, level)
+    tok = s2k.to_token(cid)
+    clat, clon = s2k.cell_center_latlng(cid)
+    vals = ", ".join(
+        f"({_dbl_exact(float(la))}, {_dbl_exact(float(lo))}, {int(c)}, '{t}', "
+        f"{_dbl_exact(float(cla))}, {_dbl_exact(float(clo))})"
+        for la, lo, c, t, cla, clo in zip(lat, lon, cid, tok, clat, clon)
+    )
+    return f"s2m(lat, lon, cell_id, token, center_lat, center_lon) AS (VALUES {vals})"
+
+
+@_functools.lru_cache(maxsize=None)
+def vincenty_gaz_map_values() -> str:
+    """VALUES CTE body: (lat, lon, km_bucket) — Vincenty distance to London
+    per gazetteer coordinate, whole-km bucket (iterative geodesic has no
+    closed SQL form; the local kernel is golden-tested)."""
+    import numpy as np
+
+    from ..geo import distance as dist
+
+    rows = C.gazetteer_rows()
+    lat = np.array([r[2] for r in rows], dtype=np.float64)
+    lon = np.array([r[3] for r in rows], dtype=np.float64)
+    lond = [m for m in C.MEGACITIES if m[0] == "London"][0]
+    d = dist.vincenty(lat, lon, np.full_like(lat, lond[1]), np.full_like(lon, lond[2]))
+    bucket = np.floor(d / 1000.0).astype(np.int64)
+    vals = ", ".join(
+        f"({_dbl_exact(float(la))}, {_dbl_exact(float(lo))}, {int(b)})"
+        for la, lo, b in zip(lat, lon, bucket)
+    )
+    return f"vm(lat, lon, km_bucket) AS (VALUES {vals})"
+
+
+@_functools.lru_cache(maxsize=None)
+def compact_regions_values_sql() -> str:
+    """Pinned per-resolution histogram of compact(union of region covers at
+    geohash p5), computed by the LOCAL compact twin (geo/compact.py) over the
+    local polyfill — regions are sf-independent, so the histogram is a
+    constant; the distributed operator must reproduce it exactly."""
+    from collections import Counter
+
+    from ..geo import compact as gc
+    from ..geo import geom as gm
+    from ..geo import polyfill as pf
+
+    cells: set[str] = set()
+    for _i, _rid, _cidx, minx, miny, maxx, maxy in C.region_rows():
+        poly = gm.polygon([(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)])
+        cells.update(str(c) for c in pf.geohash_polyfill(poly, 5, "intersects"))
+    comp = gc.compact_geohash(sorted(cells))
+    hist = Counter(len(c) for c in comp)
+    vals = ", ".join(f"({res}, {n})" for res, n in sorted(hist.items()))
+    return (
+        "SELECT CAST(res AS INT) AS res, CAST(n_cells AS BIGINT) AS n_cells "
+        f"FROM (VALUES {vals}) t(res, n_cells)"
     )

@@ -27,29 +27,41 @@ def dedup_exact_sql() -> str:
     )
 
 
-def _shingle_ctes() -> str:
+def _shingle_ctes(max_bucket: int | None = None) -> str:
     sh = TH.word_shingles_sql("text")
     mins = ", ".join(TH.minhash_min_aggs_sql("h"))
     keys = ", ".join(TH.band_key_sql(b) for b in range(TH.MINHASH_BANDS))
     bands_union = "\nUNION ALL ".join(
         f"SELECT id, {b} AS band, bk{b} AS key FROM keys" for b in range(TH.MINHASH_BANDS)
     )
+    cap = ""
+    if max_bucket is not None:
+        # mirror operators.dedup._cap_buckets: keep the max_bucket smallest
+        # ids per (band, key) bucket before pairing
+        cap = f"""
+bands_rk AS (SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY id ASC) AS rk
+             FROM bands),"""
+        bands_src = f"(SELECT id, band, key FROM bands_rk WHERE rk <= {max_bucket})"
+    else:
+        bands_src = "bands"
     return f"""shr AS (SELECT url AS id, unnest({sh}) AS s FROM pages),
 shh AS (SELECT DISTINCT id, {TH.h60_sql('s')} AS h FROM shr),
 sigs AS (SELECT id, {mins} FROM shh GROUP BY id),
 keys AS (SELECT id, {keys} FROM sigs),
-bands AS ({bands_union}),
-cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
-         JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+bands AS ({bands_union}),{cap}
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM {bands_src} a
+         JOIN {bands_src} b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
 sizes AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
 inter AS (SELECT c.id_a, c.id_b, count(*) AS inter FROM cand c
           JOIN shh sa ON sa.id = c.id_a JOIN shh sb ON sb.id = c.id_b AND sb.h = sa.h
           GROUP BY 1, 2)"""
 
 
-def dedup_minhash_sql(threshold_ppm: int = 700_000) -> str:
+def dedup_minhash_sql(
+    threshold_ppm: int = 700_000, max_bucket: int | None = None
+) -> str:
     return _with_pages(
-        _shingle_ctes()
+        _shingle_ctes(max_bucket)
         + f""",
 jac AS (SELECT i.id_a, i.id_b, i.inter, na.n + nb.n - i.inter AS uni,
                CAST(floor(1e6 * i.inter / (na.n + nb.n - i.inter)) AS BIGINT) AS jac_ppm
@@ -58,7 +70,7 @@ SELECT id_a, id_b, inter, uni, jac_ppm FROM jac WHERE jac_ppm >= {threshold_ppm}
     )
 
 
-def dedup_simhash_sql(max_hamming: int = 3) -> str:
+def dedup_simhash_sql(max_hamming: int = 3, max_bucket: int | None = None) -> str:
     bits = ", ".join(TH.simhash_bit_aggs_sql("h"))
     bands_union = "\nUNION ALL ".join(
         f"SELECT id, simhash, {k} AS band, "
@@ -66,14 +78,23 @@ def dedup_simhash_sql(max_hamming: int = 3) -> str:
         "FROM st"
         for k in range(TH.SIMHASH_BANDS)
     )
+    cap = ""
+    bands_src = "bands"
+    if max_bucket is not None:
+        cap = """
+bands_rk AS (SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY id ASC) AS rk
+             FROM bands),"""
+        bands_src = (
+            f"(SELECT id, simhash, band, key FROM bands_rk WHERE rk <= {max_bucket})"
+        )
     return _with_pages(
         f"""tok AS (SELECT DISTINCT url AS id, unnest({TH.tokens_sql('text')}) AS t FROM pages),
 tokh AS (SELECT id, {TH.h60_sql('t')} AS h FROM tok),
 bits AS (SELECT id, {bits} FROM tokh GROUP BY id),
 st AS (SELECT id, {TH.simhash_from_bits_sql()} AS simhash FROM bits),
-bands AS ({bands_union}),
+bands AS ({bands_union}),{cap}
 pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+          FROM {bands_src} a JOIN {bands_src} b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
 SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming FROM pairs
 WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
     )
@@ -246,7 +267,6 @@ def ann_ivf_topk_sql(
     dim: int = 64,
     k: int = 10,
     query_mod: int = 50,
-    centroid_mod: int = 31,
     nprobe: int = 2,
 ) -> str:
     scaled = TH.emb_scaled_sql("embedding")
@@ -259,9 +279,15 @@ def ann_ivf_topk_sql(
         f"CAST(floor(1e6 * {TH.int_dot_sql('q_v', 'c_v', dim)} / "
         "sqrt(CAST(q_n2 AS DOUBLE) * CAST(c_n2 AS DOUBLE))) AS BIGINT)"
     )
+    # mirror operators.similarity.ivf_centroid_step: ~sqrt(N) centroids via
+    # deterministic stride (floor(sqrt) on the double — same op both engines)
+    step = (
+        "greatest(1, (SELECT count(*) FROM embeddings) // "
+        "greatest(16, CAST(floor(sqrt(CAST((SELECT count(*) FROM embeddings) AS DOUBLE))) AS BIGINT)))"
+    )
     return f"""WITH base0 AS (SELECT vec_id AS id, {scaled} AS v FROM embeddings),
 base AS (SELECT id, v, {norm} AS norm2 FROM base0),
-cents AS (SELECT id AS cent_id, v AS cv, norm2 AS cn2 FROM base WHERE id % {centroid_mod} = 1),
+cents AS (SELECT id AS cent_id, v AS cv, norm2 AS cn2 FROM base WHERE id % {step} = 1),
 ranked AS (SELECT b.id, c.cent_id, b.v, b.norm2,
            row_number() OVER (PARTITION BY b.id ORDER BY {ccos} DESC, c.cent_id ASC) AS crank
            FROM base b CROSS JOIN cents c),

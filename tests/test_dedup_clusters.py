@@ -38,3 +38,36 @@ def test_clusters_match_union_find(spark):
     for x, c in got.items():
         assert c <= x
         assert got[c] == c
+
+
+def test_star_edges_same_components(spark):
+    """Star edges (member → bucket-min) span each LSH bucket, so connected
+    components over them equal components over the all-pairs graph."""
+    sigs = dd.minhash_signatures(dd.shingle_hashes(src.pages(spark, SF)))
+    allp = [(r["id_a"], r["id_b"]) for r in dd.lsh_candidates(sigs).collect()]
+    star = [(r["id_a"], r["id_b"]) for r in dd.lsh_star_edges(sigs).collect()]
+    assert len(star) < len(allp)
+    assert _union_find(star) == _union_find(allp)
+
+
+def test_bucket_cap_subsets_pairs(spark):
+    sigs = dd.minhash_signatures(dd.shingle_hashes(src.pages(spark, SF)))
+    allp = {(r["id_a"], r["id_b"]) for r in dd.lsh_candidates(sigs).collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidates(sigs, max_bucket=4).collect()
+    }
+    assert capped < allp  # strictly smaller on the dup-dense fixture
+    stats = dd.lsh_bucket_stats(sigs, max_bucket=4).collect()[0]
+    assert stats["n_over_cap"] > 0
+    assert stats["max_bucket_size"] > 4
+
+
+def test_pointer_jumping_converges_on_long_path(spark):
+    """A 40-node path has diameter 39 — plain min-label propagation needs 39
+    rounds (the round-1 cap was 10); pointer jumping converges in O(log d)."""
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(39)]
+    pairs_df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r["id"]: r["cluster"] for r in dd.dedup_clusters(pairs_df, max_iter=10).collect()}
+    assert set(got.values()) == {"n00"}
+    assert len(got) == 40

@@ -94,3 +94,59 @@ def test_rerun_is_noop(spark, workdir):
     )
     assert man2["version"] == man1["version"]  # nothing to do → no new snapshot
     assert len(man2["partitions"]) == 4
+
+
+def test_crash_window_orphan_ignored(spark, workdir):
+    """Kill BETWEEN the batch data write and the manifest swap (the round-1
+    untested window): the orphan batch dir must be invisible to readers and
+    the resumed run must produce exactly the reference rows (no dup rows
+    from re-appending)."""
+    df = _src(spark)
+    ice.write_partitioned(
+        df, workdir, "ref", stage="s1", key_col="key", n_partitions=8, batch_size=2
+    )
+    ref_rows = sorted(
+        ice.read_table(spark, workdir, "ref").collect(), key=lambda r: r["doc_id"]
+    )
+
+    with pytest.raises(RuntimeError, match="before manifest swap"):
+        ice.write_partitioned(
+            df, workdir, "t", stage="s1", key_col="key", n_partitions=8,
+            batch_size=2, fail_mid_commit=1,
+        )
+    # one batch committed, one orphaned on disk
+    assert len(ice.committed_partitions(workdir, "t")) == 2
+    partial = ice.read_table(spark, workdir, "t")
+    assert partial.count() < len(ref_rows)
+
+    man = ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=8, batch_size=2
+    )
+    assert len(man["partitions"]) == 8  # no partition committed twice
+    got = sorted(
+        ice.read_table(spark, workdir, "t").collect(), key=lambda r: r["doc_id"]
+    )
+    assert got == ref_rows  # orphan rows did NOT leak in
+
+
+def test_range_bounds_persisted_on_resume(spark, workdir):
+    """Resume must reuse the COMMITTED range bounds even when the caller
+    passes different (recomputed/drifted) bounds."""
+    df = _src(spark)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ice.write_partitioned(
+            df, workdir, "t", stage="s1", key_col="key", batch_size=1,
+            fail_after_batches=1, range_bounds=[100, 250],
+        )
+    man = ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", batch_size=2,
+        range_bounds=[90, 300],  # drifted — must be ignored
+    )
+    assert man["range_bounds"] == [100, 250]
+    lin = {r["partition_id"]: r for r in ice.lineage(spark, workdir, "t").collect()}
+    # partition key ranges obey the ORIGINAL bounds
+    assert lin[0]["key_max"] <= 100
+    assert lin[1]["key_min"] > 100 and lin[1]["key_max"] <= 250
+    assert lin[2]["key_min"] > 250
+    total = sum(r["row_count"] for r in lin.values())
+    assert total == df.count()
