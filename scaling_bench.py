@@ -54,28 +54,54 @@ def run_cellmath(spark, args) -> None:
         df.repartition(64).write.mode("overwrite").parquet(path)
 
     df = spark.read.parquet(path)
-    lond = (51.5074, -0.1278)
+    # enough trig per row that the job is compute-bound, not scan-bound:
+    # 8 haversines + 3 tile y (asinh) + 3 cell quantizations per row
+    cities = [
+        (51.5074, -0.1278), (40.7128, -74.006), (35.6762, 139.6503),
+        (-33.8688, 151.2093), (48.8566, 2.3522), (19.4326, -99.1332),
+        (55.7558, 37.6173), (-23.5505, -46.6333),
+    ]
+
+    # replicate each scanned row 16× IN-JVM (explode of a sequence, jittered
+    # coords so no common-subexpression collapses) — the scan is ~1 GB total
+    # while the computed row count is 16×, keeping the job CPU-bound at
+    # every core count instead of parquet-decode-bound
+    REP = 16
 
     def job():
-        d = udfs.haversine_col(
-            F.col("lat"), F.col("lon"), F.lit(lond[0]), F.lit(lond[1])
+        rep = df.select(
+            "lat", "lon", F.explode(F.sequence(F.lit(0), F.lit(REP - 1))).alias("k")
+        ).select(
+            (F.col("lat") + F.col("k") * 1e-7).alias("lat"),
+            (F.col("lon") + F.col("k") * 1e-7).alias("lon"),
         )
-        qx = F.floor((F.col("lon") + 180.0) / 360.0 * 4096).cast("long")
-        qy = F.floor((F.col("lat") + 90.0) / 180.0 * 4096).cast("long")
-        cell = qx * 4096 + qy
-        out = (
-            df.select(
-                cell.alias("cell"),
-                udfs.tile_x_col(F.col("lon"), 12).alias("tx"),
-                udfs.tile_y_col(F.col("lat"), 12).alias("ty"),
-                d.alias("d"),
+        dsum = None
+        for la, lo in cities:
+            d = F.floor(
+                udfs.haversine_col(F.col("lat"), F.col("lon"), F.lit(la), F.lit(lo))
             )
-            .groupBy((F.col("cell") % 1024).alias("bucket"))
+            dsum = d if dsum is None else dsum + d
+        cell = None
+        for bits in (10, 12, 14):
+            qx = F.floor((F.col("lon") + 180.0) / 360.0 * (1 << bits)).cast("long")
+            qy = F.floor((F.col("lat") + 90.0) / 180.0 * (1 << bits)).cast("long")
+            c = qx * (1 << bits) + qy
+            cell = c if cell is None else cell + c
+        ty = None
+        for z in (8, 12, 16):
+            t = udfs.tile_x_col(F.col("lon"), z) + udfs.tile_y_col(F.col("lat"), z)
+            ty = t if ty is None else ty + t
+        out = (
+            rep.select(
+                (cell % 1024).alias("bucket"),
+                ty.alias("t"),
+                dsum.alias("d"),
+            )
+            .groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum("tx").alias("sx"),
-                F.sum("ty").alias("sy"),
-                F.sum(F.floor(F.col("d"))).alias("sd"),
+                F.sum("t").alias("st"),
+                F.sum("d").alias("sd"),
             )
         )
         return out.count()
@@ -91,9 +117,9 @@ def run_cellmath(spark, args) -> None:
             {
                 "workload": "cellmath",
                 "cpus": args.cpus,
-                "rows": args.rows,
+                "rows": args.rows * REP,
                 "sec": round(best, 2),
-                "cellmath_rows_per_sec": round(args.rows / best, 1),
+                "cellmath_rows_per_sec": round(args.rows * REP / best, 1),
             }
         ),
         flush=True,
