@@ -250,12 +250,25 @@ def _q_polyline_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1 geom_stats over region WKB (shape columns oracle-checked; UTM
-    area/perimeter golden-tested in tests/test_geo_kernels.py)."""
+    """U1 geom_stats over region WKB.  Shape columns AND the UTM transverse-
+    Mercator area/perimeter (floored to exact ints) are oracle-checked —
+    the measure side joins a local-kernel VALUES map (the same kernel is
+    golden-tested against geodesic references), so the distributed WKB →
+    parse → UTM → shoelace path is compared on real numbers, not literals
+    (round-1 advice)."""
     stats = udfs.geom_stats_udf("m")
-    return src.regions(spark).select(
-        "region_id", stats(F.col("geometry")).alias("__s")
-    ).select("region_id", "__s.n_shells", "__s.n_holes", "__s.n_points")
+    return (
+        src.regions(spark)
+        .select("region_id", stats(F.col("geometry")).alias("__s"))
+        .select(
+            "region_id",
+            "__s.n_shells",
+            "__s.n_holes",
+            "__s.n_points",
+            F.floor("__s.area").cast("bigint").alias("area_fl"),
+            F.floor("__s.border").cast("bigint").alias("border_fl"),
+        )
+    )
 
 
 def _q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,6 +355,25 @@ def _q_uncompact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = cmp_ops.uncompact_geohash_df(comp, 5)
     return rest.groupBy(F.length("cell").alias("res")).agg(
         F.count(F.lit(1)).alias("n_cells")
+    )
+
+
+def _q_s2_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4/G5 S2 side through the driver: level-12 gazetteer cells →
+    distributed uncompact to level 14 (complete 16-child families) →
+    distributed compact — which MUST fully collapse back to the original
+    set.  Pinned oracle: count + order-insensitive xor of the expected set
+    computed by the local kernel twins (geo/compact.py)."""
+    from geospatial_spark.operators import compact as cmp_ops
+
+    gaz = src.gazetteer(spark)
+    s2c = udfs.s2_cell_udf(12)
+    cells = gaz.select(s2c(F.col("lat"), F.col("lon")).alias("cell_id")).distinct()
+    kids = cmp_ops.uncompact_s2_df(cells, 14)
+    back = cmp_ops.compact_s2_df(kids)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.expr("bit_xor(cell_id)").alias("cells_xor"),
     )
 
 
@@ -635,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match": _q_map_match,
         "cluster_cells": _q_cluster_cells,
         "uncompact_roundtrip": _q_uncompact_roundtrip,
+        "s2_compact_roundtrip": _q_s2_compact_roundtrip,
         "flatten3d_stats": _q_flatten3d,
         "clip_bbox": _q_clip_bbox,
         "tile_to_cells": _q_tile_to_cells,
@@ -820,8 +853,10 @@ SELECT entity, color_idx, {_palette_case_sql('color_idx')} AS color_hex, n FROM 
             "FROM gaz"
         ),
         "geom_stats": G(
-            "SELECT region_id, CAST(1 AS INT) AS n_shells, CAST(0 AS INT) AS n_holes, "
-            "CAST(5 AS INT) AS n_points FROM regions"
+            f""", {osql.geom_stats_values()}
+SELECT r.region_id, CAST(1 AS INT) AS n_shells, CAST(0 AS INT) AS n_holes,
+       CAST(5 AS INT) AS n_points, gsm.area_fl, gsm.border_fl
+FROM regions r JOIN gsm ON gsm.region_id = r.region_id"""
         ),
         "ways_classify": G(
             f""", {osql.ways_ctes()}
@@ -926,6 +961,7 @@ FROM points p JOIN vm ON p.lat = vm.lat AND p.lon = vm.lon
 GROUP BY 1"""
         ),
         "compact_regions": osql.compact_regions_values_sql(),
+        "s2_compact_roundtrip": osql.s2_roundtrip_values_sql(12, 14),
         "sessionize": sess_ops.sessionize_sql(1800),
         "events_hourly": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "

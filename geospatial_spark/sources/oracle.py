@@ -223,3 +223,55 @@ def compact_regions_values_sql() -> str:
         "SELECT CAST(res AS INT) AS res, CAST(n_cells AS BIGINT) AS n_cells "
         f"FROM (VALUES {vals}) t(res, n_cells)"
     )
+
+
+@_functools.lru_cache(maxsize=None)
+def geom_stats_values() -> str:
+    """VALUES CTE body: (region_id, area_fl, border_fl) — UTM shoelace
+    area / perimeter of every region polygon, computed by the LOCAL numpy
+    kernel (geo/geom.py geom_stats — golden-tested against geodesic
+    references) and floored to exact ints.  Turns the geom_stats oracle's
+    measure columns into real kernel output instead of literals (round-1
+    advice: non-vacuous parity)."""
+    import math
+
+    from ..geo import geom as gm
+
+    vals = []
+    for _i, rid, _cidx, minx, miny, maxx, maxy in C.region_rows():
+        poly = gm.polygon([(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)])
+        g = gm.parse_wkb(gm.to_wkb(poly))
+        _ns, _nh, _np, area, border = gm.geom_stats(g, "m")
+        vals.append(f"('{rid}', {int(math.floor(area))}, {int(math.floor(border))})")
+    return f"gsm(region_id, area_fl, border_fl) AS (VALUES {', '.join(vals)})"
+
+
+@_functools.lru_cache(maxsize=None)
+def s2_roundtrip_values_sql(level: int = 12, child_level: int = 14) -> str:
+    """Pinned expected result of compact(uncompact(gaz_cells, child_level))
+    over the constant gazetteer S2 cell set, computed by the LOCAL twins
+    (geo/compact.py): one row (n_cells, cells_xor).  The distributed
+    compact MUST fully collapse the complete child families back to the
+    same set — count + order-insensitive xor pin set equality."""
+    import numpy as np
+
+    from ..geo import compact as gc
+    from ..geo import s2 as s2k
+
+    rows = C.gazetteer_rows()
+    lat = np.array([r[2] for r in rows], dtype=np.float64)
+    lon = np.array([r[3] for r in rows], dtype=np.float64)
+    cells = np.unique(s2k.latlng_to_cell(lat, lon, level))
+    kids = gc.uncompact_s2(cells, child_level)
+    back = np.asarray(gc.compact_s2(kids), dtype=np.int64)
+    # xor in unsigned-64 space, then wrap to signed like Spark's BIGINT
+    mask = (1 << 64) - 1
+    x = 0
+    for v in back:
+        x ^= int(v) & mask
+    if x >= 1 << 63:
+        x -= 1 << 64
+    return (
+        f"SELECT CAST({len(back)} AS BIGINT) AS n_cells, "
+        f"CAST({x} AS BIGINT) AS cells_xor"
+    )

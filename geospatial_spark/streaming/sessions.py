@@ -1,0 +1,179 @@
+"""Stateful streaming sessionization — the custom-stateful-operator path
+(``applyInPandasWithState``) the batch ``operators.sessions.sessionize``
+mirrors with window functions.
+
+Semantics (identical to the batch twin): events for a user belong to one
+session while consecutive gaps stay ≤ ``gap_seconds``; a bigger gap closes
+the session.  A closed session emits immediately in the micro-batch that
+observes the gap; a session left open at the watermark emits via event-time
+state timeout (last_ts + gap).  Output row shape matches the batch
+operator: (user_id, session_seq, start_ts, n_events, cents).
+
+Scale notes: state is one tiny struct per ACTIVE user (open session only —
+closed sessions leave state immediately), keyed-shuffled on user_id once;
+the watermark bounds state lifetime, so a 100 TB/day feed holds state
+proportional to concurrently-active users, not history.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("start_ts", StringType()),
+        StructField("n_events", LongType()),
+        StructField("cents", LongType()),
+    ]
+)
+
+# open-session accumulator: (start_epoch, last_epoch, n_events, cents,
+# n_closed_sessions_so_far)
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_ep", LongType()),
+        StructField("last_ep", LongType()),
+        StructField("n_events", LongType()),
+        StructField("cents", LongType()),
+        StructField("n_closed", LongType()),
+    ]
+)
+
+
+def _fmt(ep: int) -> str:
+    return pd.Timestamp(ep, unit="s").strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _session_fn(gap_seconds: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        out: list[tuple[int, int, str, int, int]] = []
+
+        if state.hasTimedOut:
+            start_ep, last_ep, n_ev, cents, n_closed = state.get
+            if n_ev > 0:
+                n_closed += 1
+                out.append((user_id, n_closed, _fmt(start_ep), n_ev, cents))
+            # tombstone (no open session) rather than remove: session_seq is
+            # a per-user ordinal, so the closed-session count must survive
+            # the flush — removing state here restarted numbering at 1 and
+            # collided with already-emitted seqs.  No new timeout is set
+            # (nothing is open); the tombstone is one tiny row per user.
+            state.update((0, last_ep, 0, 0, n_closed))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in OUTPUT_SCHEMA.fields]
+            )
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts", kind="mergesort")
+        # whole-second epoch + exact cents — the batch twin's arithmetic
+        eps = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        cents_arr = (rows["value"].to_numpy() * 100 + 0.5).astype("int64")
+
+        if state.exists:
+            start_ep, last_ep, n_ev, cents, n_closed = state.get
+        else:
+            start_ep = last_ep = int(eps[0])
+            n_ev, cents, n_closed = 0, 0, 0
+        for ep, c in zip(eps, cents_arr):
+            ep = int(ep)
+            if n_ev > 0 and ep - last_ep > gap_seconds:
+                n_closed += 1
+                out.append((user_id, n_closed, _fmt(start_ep), n_ev, cents))
+                start_ep, n_ev, cents = ep, 0, 0
+            if n_ev == 0:
+                start_ep = ep  # first event of a (new or fresh-group) session
+            n_ev += 1
+            cents += int(c)
+            last_ep = ep
+
+        state.update((start_ep, last_ep, n_ev, cents, n_closed))
+        # event-time timeout: flush the open session when the watermark
+        # passes last_ts + gap (ms for the state API).  Late data can make
+        # last_ts + gap older than the already-advanced watermark — the API
+        # rejects that, so clamp to just past the watermark (the session is
+        # then flushed at the next opportunity, which is the correct gap
+        # semantics for an event that arrived after its session expired).
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((last_ep + gap_seconds) * 1000, wm + 1))
+        yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    return fn
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap sessionization over (user_id, ts, value) events.
+
+    One keyed shuffle on user_id; per-group pandas state machine; output
+    rows appear when a gap closes a session or the watermark times the
+    open session out."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch_reference(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch twin used by the replay-equivalence test: same output columns,
+    whole-second epoch gap math (matches the streaming state machine),
+    plus the session-end epoch so tests can reason about watermark flush."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    ep = F.col("ts").cast("timestamp").cast("long")
+    gapped = events.withColumn(
+        "__new",
+        F.when(F.lag(ep).over(w).isNull(), 1)
+        .when(ep - F.lag(ep).over(w) > gap_seconds, 1)
+        .otherwise(0),
+    )
+    sess = gapped.withColumn(
+        "session_seq",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(
+                F.min(F.col("ts").cast("timestamp")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("start_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("cents"),
+            F.max(ep).alias("end_ep"),
+        )
+        .select("user_id", "session_seq", "start_ts", "n_events", "cents", "end_ep")
+    )

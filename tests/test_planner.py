@@ -25,3 +25,41 @@ def test_knn_params_bounds():
     assert 1 <= p <= 6 and 1 <= r <= 3
     p2, r2 = planner.choose_knn_params(n_neighbors_total=10_000_000, k=10)
     assert p2 >= p  # denser neighbors → finer cells
+
+
+def test_pip_plan_large_polys_shuffles_and_salts(spark):
+    """A polygon side whose exploded cell index exceeds the broadcast budget
+    must pick the shuffle strategy, and a skewed point side must derive a
+    salt > 1 with a finite heavy-cell threshold."""
+    import pyspark.sql.functions as F
+
+    polys = spark.range(40_000).select(
+        ((F.col("id") % 30) * 10.0 - 150.0).alias("minx"),
+        ((F.col("id") % 15) * 10.0 - 75.0).alias("miny"),
+        ((F.col("id") % 30) * 10.0 - 140.0).alias("maxx"),
+        ((F.col("id") % 15) * 10.0 - 65.0).alias("maxy"),
+    )
+    # 90% of points piled on one coordinate (a megacity cell), 10% spread
+    pts = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(10.0))
+        .otherwise((F.col("id") % 180) - 90.0 + 0.5)
+        .alias("lat"),
+        F.when(F.col("id") % 10 < 9, F.lit(10.0))
+        .otherwise((F.col("id") % 360) - 180.0 + 0.5)
+        .alias("lon"),
+    )
+    plan = planner.choose_pip_plan(pts, polys, sample_fraction=1.0)
+    assert plan.strategy == "shuffle"
+    assert plan.salt >= 2
+    assert plan.heavy_cell_rows < 1 << 62
+
+
+def test_force_strategy_still_derives_salt(spark):
+    pts = src.extract_points(
+        src.pages(spark, "/root/testdata/sf0.001"), src.gazetteer(spark)
+    )
+    plan = planner.choose_pip_plan(
+        pts, src.regions(spark), force_strategy="shuffle"
+    )
+    assert plan.strategy == "shuffle"
+    assert plan.salt >= 1 and plan.heavy_cell_rows < 1 << 62

@@ -40,3 +40,67 @@ def test_stream_dedup_count(spark, tmp_path):
         spark.read.parquet(f"{SF}/events.parquet").select("event_id").distinct().count()
     )
     assert got.count() == n_distinct
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: replay the events fixture
+    as 4 chronological micro-batches; every session CLOSED BY A GAP (i.e.
+    every non-final session of a user) must emit with exactly the batch
+    twin's values; nothing may emit that the batch twin doesn't contain."""
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.streaming import sessions as ssn
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    src_dir = tmp_path / "events_split"
+    (
+        events.orderBy("ts")
+        .withColumn(
+            "part", F.ntile(4).over(__import__("pyspark").sql.Window.orderBy("ts"))
+        )
+        .repartitionByRange(4, "part")
+        .write.partitionBy("part")
+        .parquet(str(src_dir))
+    )
+    # FileStreamSource orders by modification time (write-task completion
+    # order — nondeterministic); pin mtimes to the chronological part order
+    # so micro-batches replay in event-time order
+    import glob
+    import os
+    import time as _time
+
+    base = _time.time()
+    for k in range(1, 5):
+        for f in glob.glob(str(src_dir / f"part={k}") + "/*"):
+            os.utime(f, (base + k, base + k))
+    stream = (
+        spark.readStream.schema(events.withColumn("part", F.lit(1)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    got_df = _drain(
+        spark,
+        ssn.sessionize_stream(stream, gap_seconds=1800),
+        tmp_path,
+        "sess_out",
+        "append",
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (r["start_ts"], r["n_events"], r["cents"])
+        for r in got_df.collect()
+    }
+    ref = ssn.sessionize_batch_reference(events, gap_seconds=1800).collect()
+    full = {
+        (r["user_id"], r["session_seq"]): (r["start_ts"], r["n_events"], r["cents"])
+        for r in ref
+    }
+    last_seq = {}
+    for r in ref:
+        last_seq[r["user_id"]] = max(last_seq.get(r["user_id"], 0), r["session_seq"])
+    must_emit = {k for k in full if k[1] < last_seq[k[0]]}
+
+    assert set(got) <= set(full)          # nothing fabricated
+    assert must_emit <= set(got)          # every gap-closed session emitted
+    for k in got:
+        assert got[k] == full[k]          # values exactly equal to the twin
+    assert len(got) > 0
