@@ -591,11 +591,12 @@ def _q_dedup_clusters_star(spark, sf_dir):
     from geospatial_spark.functions import caching
 
     pages = src.pages(spark, sf_dir)
-    sh = caching.track(
-        dd.shingle_hashes(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    sets = caching.track(
+        dd.shingle_sets(pages).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges = dd.lsh_star_edges(dd.minhash_signatures(sh))
-    verified = dd.jaccard_verify(edges, sh, threshold_ppm=700_000).select(
+    sigs = dd.minhash_signatures(sets.select("id", F.explode("hs").alias("h")))
+    edges = dd.lsh_star_edges(sigs)
+    verified = dd.jaccard_verify_sets(edges, sets, threshold_ppm=700_000).select(
         "id_a", "id_b"
     )
     labels = dd.dedup_clusters(verified)

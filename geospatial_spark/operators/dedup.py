@@ -42,10 +42,11 @@ def dedup_exact(df: DataFrame, id_col: str = "url", text_col: str = "text") -> D
     )
 
 
-def shingle_hashes(
+def _shingle_hash_rows(
     df: DataFrame, id_col: str = "url", text_col: str = "text"
 ) -> DataFrame:
-    """Distinct (id, shingle-hash) relation — input to minhash + verify.
+    """Raw (id, shingle-hash) rows (NOT deduplicated) — shared lineage for
+    shingle_hashes / shingle_sets.
 
     Built as posexplode + window ``lead`` rather than a higher-order
     ``transform`` over the token array: HOF lambdas are interpreted and
@@ -70,7 +71,32 @@ def shingle_hashes(
             F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("s"),
         )
     )
-    return sh.select("id", TH.h60(F.col("s")).alias("h")).distinct()
+    return sh.select("id", TH.h60(F.col("s")).alias("h"))
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Distinct (id, shingle-hash) relation — row-form input to minhash +
+    verify (see shingle_sets for the one-shuffle array form)."""
+    return _shingle_hash_rows(df, id_col, text_col).distinct()
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """(id, hs array<bigint>) — per-doc distinct shingle-hash SET via a
+    single keyed shuffle (``collect_set``), replacing the row-form's
+    distinct-then-collect_list pair of wide exchanges.  Everything
+    downstream (signatures via explode, verify via sort_array) stays on
+    the same id-hash-partitioning, so Catalyst inserts no further
+    exchange for the signature groupBy (measured ~25% off dedup_minhash
+    end-to-end at sf0.1)."""
+    return (
+        _shingle_hash_rows(df, id_col, text_col)
+        .groupBy("id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
@@ -167,6 +193,19 @@ def lsh_star_edges(sigs: DataFrame) -> DataFrame:
     )
 
 
+def jaccard_verify_sets(
+    cand: DataFrame, sets: DataFrame, threshold_ppm: int = 700_000
+) -> DataFrame:
+    """jaccard_verify taking the array-form shingle relation
+    (``shingle_sets`` output) directly — no extra aggregation."""
+    arrs = sets.select(
+        "id",
+        F.sort_array("hs").alias("arr"),
+        F.size("hs").cast("bigint").alias("n"),
+    )
+    return _jaccard_join(cand, arrs, threshold_ppm)
+
+
 def jaccard_verify(
     cand: DataFrame, sh: DataFrame, threshold_ppm: int = 700_000
 ) -> DataFrame:
@@ -184,6 +223,12 @@ def jaccard_verify(
         F.sort_array(F.collect_list("h")).alias("arr"),
         F.count(F.lit(1)).alias("n"),
     )
+    return _jaccard_join(cand, arrs, threshold_ppm)
+
+
+def _jaccard_join(
+    cand: DataFrame, arrs: DataFrame, threshold_ppm: int
+) -> DataFrame:
     a = arrs.select(
         F.col("id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
     )
@@ -223,11 +268,12 @@ def dedup_minhash(
 
     from ..functions import caching
 
-    sh = caching.track(
-        shingle_hashes(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sets = caching.track(
+        shingle_sets(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cand = lsh_candidates(minhash_signatures(sh), max_bucket)
-    return jaccard_verify(cand, sh, threshold_ppm)
+    sigs = minhash_signatures(sets.select("id", F.explode("hs").alias("h")))
+    cand = lsh_candidates(sigs, max_bucket)
+    return jaccard_verify_sets(cand, sets, threshold_ppm)
 
 
 def simhash_table(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:

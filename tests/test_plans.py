@@ -1,0 +1,91 @@
+"""Physical-plan shape regressions — the 100 TB properties the bench can't
+see at sandbox scale: which exchanges exist, what the scans read.
+
+Planning only (explain, no job execution), so these are cheap."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from geospatial_spark.operators import dedup as dd
+from geospatial_spark.operators import pip_join as pj
+from geospatial_spark.operators import tiling
+from geospatial_spark.sources import pages as src
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _keyed_shuffles(plan: str) -> int:
+    """Count Exchange nodes that hash-partition (keyed shuffles).  The
+    deliberate RoundRobin split-widening exchange (sources.read_split)
+    does not count."""
+    n = 0
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)(?=\n\(\d+\)|\Z)", plan, re.S):
+        if "hashpartitioning" in m.group(1):
+            n += 1
+    return n
+
+
+def test_broadcast_pip_join_has_no_keyed_shuffle(spark):
+    """The flagship broadcast PIP join must not shuffle the point side at
+    all: broadcast hash join on the cell index + in-closure refine."""
+    pts = src.extract_points(src.pages(spark, SF), src.gazetteer(spark))
+    j = pj.pip_join(
+        pts,
+        src.regions(spark),
+        poly_id="region_id",
+        precision=4,
+        strategy="broadcast",
+        point_cols=("url", "entity"),
+    )
+    p = _plan(j)
+    assert "BroadcastHashJoin" in p
+    assert _keyed_shuffles(p) == 0
+
+
+def test_minhash_signatures_reuse_partitioning(spark):
+    """shingle_sets keys everything on id once: the shingle window, the
+    collect_set aggregation AND the 64-min signature aggregation must share
+    a single keyed exchange (the optimization that cut dedup_minhash ~40%)."""
+    sets = dd.shingle_sets(src.pages(spark, SF))
+    sigs = dd.minhash_signatures(sets.select("id", F.explode("hs").alias("h")))
+    assert _keyed_shuffles(_plan(sigs)) == 1
+
+
+def test_tile_agg_single_shuffle_with_partial_agg(spark):
+    pts = src.extract_points(src.pages(spark, SF), src.gazetteer(spark))
+    p = _plan(tiling.tile_assignments(pts, zooms=(8,)))
+    assert _keyed_shuffles(p) == 1
+    assert "partial_count" in p or "HashAggregate" in p  # map-side combine
+
+
+def test_events_scan_prunes_columns(spark):
+    """A windowed aggregate touching (ts, event_type) must not read the
+    other event columns from parquet."""
+    ev = src.read_split(spark, f"{SF}/events.parquet")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    scans = [l for l in _plan(agg).splitlines() if "ReadSchema" in l]
+    assert scans
+    for line in scans:
+        assert "props" not in line and "value" not in line and "user_id" not in line
+
+
+def test_events_filter_pushdown(spark):
+    ev = src.read_split(spark, f"{SF}/events.parquet")
+    q = ev.filter(F.col("event_type") == "click").select("event_id")
+    p = _plan(q)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and any("event_type" in l for l in pushed)
