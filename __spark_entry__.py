@@ -414,6 +414,25 @@ def _q_clip_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geojson_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 GeoJSON writer path (karta.py:337-339): region polygons -> GeoJSON
+    Feature strings, built entirely from JVM string/integer expressions
+    (fixed-6 coordinates from exact e6 ints -- printf is not
+    engine-portable; see functions.udfs.fixed6_col)."""
+    r = src.regions(spark)
+    return r.select(
+        "region_id",
+        udfs.geojson_bbox_feature_col(
+            "region_id",
+            F.col("region_id"),
+            F.col("minx"),
+            F.col("miny"),
+            F.col("maxx"),
+            F.col("maxy"),
+        ).alias("geojson"),
+    )
+
+
 def _q_tile_to_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 vector tiling path: occupied z8 tiles → tile bbox polygon →
     covering geohash-4 cells (pandas-UDF polyfill), counted per tile.
@@ -634,6 +653,23 @@ def _q_corpus_curate(spark, sf_dir):
     )
 
 
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination (training-data guard): flag pages sharing
+    any 8-word-gram with the benchmark subset (documents doc_id%97==0).
+    Pages replicate their base doc's text, so benchmark-derived pages are
+    contaminated by construction — a structurally meaningful fixture."""
+    pages = src.pages(spark, sf_dir)
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0)
+    return ts.contamination(pages, bench)
+
+
+def _q_corpus_split(spark, sf_dir):
+    """Deterministic hash train/val/test split -> per-(lang, split) counts
+    (content-stable: never rand())."""
+    pg = ts.split_assign(src.pages(spark, sf_dir))
+    return pg.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_media_features(spark, sf_dir):
     return med.extract_features(med.media_table(spark, sf_dir))
 
@@ -671,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_compact_roundtrip": _q_s2_compact_roundtrip,
         "flatten3d_stats": _q_flatten3d,
         "clip_bbox": _q_clip_bbox,
+        "geojson_regions": _q_geojson_regions,
         "tile_to_cells": _q_tile_to_cells,
         "events_hourly": _q_events_hourly,
         "buffer_ring": _q_buffer_ring,
@@ -687,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
+        "contamination": _q_contamination,
+        "corpus_split": _q_corpus_split,
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
         "dedup_clusters": _q_dedup_clusters,
@@ -942,6 +981,19 @@ SELECT z, x, y,
 FROM tb"""
         ),
         "buffer_ring": _buffer_ring_oracle_sql(),
+        "geojson_regions": G(
+            f"""SELECT region_id,
+       '{{"type":"Feature","properties":{{"region_id":"' || region_id ||
+       '"}},"geometry":{{"type":"Polygon","coordinates":[[' ||
+       '[' || {udfs.fixed6_sql("minx")} || ',' || {udfs.fixed6_sql("miny")} || '],' ||
+       '[' || {udfs.fixed6_sql("maxx")} || ',' || {udfs.fixed6_sql("miny")} || '],' ||
+       '[' || {udfs.fixed6_sql("maxx")} || ',' || {udfs.fixed6_sql("maxy")} || '],' ||
+       '[' || {udfs.fixed6_sql("minx")} || ',' || {udfs.fixed6_sql("maxy")} || '],' ||
+       '[' || {udfs.fixed6_sql("minx")} || ',' || {udfs.fixed6_sql("miny")} || ']' ||
+       ']]}}}}' AS geojson
+FROM regions"""
+        ),
+
         "s2_cells": G(
             f""", {osql.s2_gaz_map_values(12)}
 SELECT m.cell_id, m.token, m.center_lat, m.center_lon, count(*) AS n
@@ -981,6 +1033,8 @@ GROUP BY 1"""
         "lang_id": otxt.lang_id_sql(),
         "text_quality": otxt.text_quality_sql(),
         "doc_fingerprint": otxt.doc_fingerprint_sql(),
+        "contamination": otxt.contamination_sql(),
+        "corpus_split": otxt.corpus_split_sql(),
         "corpus_curate": G(
             f""", q AS (
   SELECT url, lang, sha256(text) AS sha,

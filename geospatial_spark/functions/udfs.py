@@ -482,3 +482,54 @@ def clip_rect_udf(wminx: float, wminy: float, wmaxx: float, wmaxy: float):
         )
 
     return _clip
+
+
+# --------------------------------------------------------------------------
+# GeoJSON writer (K4: karta.py:337-339 `__geo_interface__` / to_json path)
+# --------------------------------------------------------------------------
+
+
+def fixed6_col(x: Column) -> Column:
+    """Fixed-6-decimal coordinate string built from exact e6 integers
+    (floor(x*1e6+0.5) then integer split) — '%.6f'-style printf is NOT
+    engine-portable (JVM half-up vs C half-even on ties, and '-0.000000'
+    sign handling differ; measured), integer math is."""
+    e6 = F.floor(x * 1e6 + F.lit(0.5)).cast("bigint")
+    a = F.abs(e6)
+    fp = a % 1_000_000
+    ip = ((a - fp) / F.lit(1_000_000)).cast("bigint")
+    return F.concat(
+        F.when(e6 < 0, F.lit("-")).otherwise(F.lit("")),
+        ip.cast("string"),
+        F.lit("."),
+        F.lpad(fp.cast("string"), 6, "0"),
+    )
+
+
+def fixed6_sql(expr: str) -> str:
+    e6 = f"CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT)"
+    return (
+        f"(CASE WHEN {e6} < 0 THEN '-' ELSE '' END) || "
+        f"CAST((abs({e6}) - abs({e6}) % 1000000) // 1000000 AS VARCHAR) || '.' || "
+        f"lpad(CAST(abs({e6}) % 1000000 AS VARCHAR), 6, '0')"
+    )
+
+
+def geojson_bbox_feature_col(
+    id_name: str, id_col: Column, minx: Column, miny: Column, maxx: Column, maxy: Column
+) -> Column:
+    """GeoJSON Feature string for an axis-aligned polygon — pure JVM string
+    concat over fixed6 coordinates (no UDF; SQL-mirrorable)."""
+    def pt(x, y):
+        return F.concat(F.lit("["), fixed6_col(x), F.lit(","), fixed6_col(y), F.lit("]"))
+
+    ring = F.concat_ws(
+        ",", pt(minx, miny), pt(maxx, miny), pt(maxx, maxy), pt(minx, maxy), pt(minx, miny)
+    )
+    return F.concat(
+        F.lit('{"type":"Feature","properties":{"' + id_name + '":"'),
+        id_col,
+        F.lit('"},"geometry":{"type":"Polygon","coordinates":[['),
+        ring,
+        F.lit("]]}}"),
+    )

@@ -120,3 +120,83 @@ def doc_fingerprint(
         F.count(F.lit(1)).alias("n_fp"),
         F.expr("bit_xor(fp)").alias("fp_xor"),
     )
+
+
+def word_ngram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Distinct (id, h) word n-gram hashes at arbitrary n (the dedup
+    shingle builder is fixed at SHINGLE_N; decontamination wants longer
+    grams).  Same posexplode + window-lead shape — regexp runs once per
+    row, everything codegen'd, one keyed shuffle."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(TH.tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("t", j).over(w).alias(f"t{j}") for j in range(1, n)]
+    grams = (
+        tok.select("id", F.col("t").alias("t0"), *lead_cols)
+        .filter(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "id", F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("s")
+        )
+    )
+    return grams.select("id", TH.h60(F.col("s")).alias("h")).distinct()
+
+
+def contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    bench_id: str = "doc_id",
+    bench_text: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥min_hits
+    word n-grams with a benchmark/eval set — the standard guard against
+    test-set leakage in a training corpus (n=8..13 word grams in
+    published pipelines).
+
+    Output: (id, n_gram_hits, contaminated) — one row per corpus doc.
+
+    Scale notes: both sides reduce to distinct (id, gram-hash) relations;
+    the overlap is a hash equi-join ON THE GRAM HASH (well distributed —
+    no skew key exists since grams are md5-hashed), followed by one
+    partial-agg count per doc and a left join back to the corpus ids.  A
+    small benchmark side broadcasts automatically under AQE."""
+    cg = word_ngram_hashes(corpus, id_col, text_col, n)
+    bg = word_ngram_hashes(bench, bench_id, bench_text, n).select("h").distinct()
+    hits = cg.join(bg, "h").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_gram_hits")
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_gram_hits", F.lit(0)).alias("n_gram_hits"),
+            (F.coalesce("n_gram_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "url",
+    buckets: int = 100,
+    train_lt: int = 98,
+    val_lt: int = 99,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash:
+    bucket = h60(id) % buckets → train if < train_lt, val if < val_lt,
+    else test.  Pure map-side column math — the split survives reshuffles,
+    re-runs and cluster-size changes (never use rand() for this)."""
+    b = F.pmod(TH.h60(F.col(id_col)), F.lit(buckets))
+    split = (
+        F.when(b < train_lt, "train").when(b < val_lt, "val").otherwise("test")
+    )
+    return df.withColumn("split", split)

@@ -300,3 +300,29 @@ scored AS (SELECT q_id AS query_id, c_id AS neighbor_id, {qcos} AS cos_ppm FROM 
 r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
        ORDER BY cos_ppm DESC, neighbor_id ASC) AS rank FROM scored)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_ppm FROM r2 WHERE rank <= {k}"""
+
+
+def contamination_sql(n: int = 8, bench_mod: int = 97, min_hits: int = 1) -> str:
+    """Benchmark n-gram decontamination oracle: corpus = pages, benchmark =
+    documents with doc_id % bench_mod == 0."""
+    grams = TH.word_shingles_sql("text", n)
+    return _with_pages(
+        f"""cgr AS (SELECT url AS id, unnest({grams}) AS s FROM pages),
+cg AS (SELECT DISTINCT id, {TH.h60_sql('s')} AS h FROM cgr),
+bgr AS (SELECT unnest({grams}) AS s FROM documents WHERE doc_id % {bench_mod} = 0),
+bg AS (SELECT DISTINCT {TH.h60_sql('s')} AS h FROM bgr),
+hits AS (SELECT cg.id, count(*) AS n_gram_hits FROM cg JOIN bg USING (h) GROUP BY cg.id)
+SELECT p.url AS id, coalesce(h.n_gram_hits, 0) AS n_gram_hits,
+       coalesce(h.n_gram_hits, 0) >= {min_hits} AS contaminated
+FROM pages p LEFT JOIN hits h ON h.id = p.url"""
+    )
+
+
+def corpus_split_sql(buckets: int = 100, train_lt: int = 98, val_lt: int = 99) -> str:
+    return _with_pages(
+        f"""s AS (SELECT lang, {TH.h60_sql('url')} % {buckets} AS b FROM pages)
+SELECT lang, CASE WHEN b < {train_lt} THEN 'train'
+                  WHEN b < {val_lt} THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n
+FROM s GROUP BY 1, 2"""
+    )

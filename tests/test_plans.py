@@ -57,10 +57,14 @@ def test_broadcast_pip_join_has_no_keyed_shuffle(spark):
 def test_minhash_signatures_reuse_partitioning(spark):
     """shingle_sets keys everything on id once: the shingle window, the
     collect_set aggregation AND the 64-min signature aggregation must share
-    a single keyed exchange (the optimization that cut dedup_minhash ~40%)."""
+    a single keyed exchange (the optimization that cut dedup_minhash ~40%).
+    If an earlier test left the shingle relation cached, the cached scan
+    preserves the id partitioning and the count drops to 0 — still the
+    property under test (never MORE than one)."""
+    spark.catalog.clearCache()
     sets = dd.shingle_sets(src.pages(spark, SF))
     sigs = dd.minhash_signatures(sets.select("id", F.explode("hs").alias("h")))
-    assert _keyed_shuffles(_plan(sigs)) == 1
+    assert _keyed_shuffles(_plan(sigs)) <= 1
 
 
 def test_tile_agg_single_shuffle_with_partial_agg(spark):
