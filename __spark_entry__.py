@@ -40,6 +40,20 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.extract_points(src.pages(spark, sf_dir), src.gazetteer(spark))
 
 
+def _cached_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point side shared between a planner stats pass and the join itself —
+    persisted so the pages→points derivation lineage runs once, not once
+    per planner sample + once per join (registered with functions.caching
+    for release)."""
+    from pyspark import StorageLevel
+
+    from geospatial_spark.functions import caching
+
+    return caching.track(
+        _points(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIP spatial join of geocoded page mentions into regions."""
     pts = _points(spark, SF_SMOKE)
@@ -87,7 +101,7 @@ def _q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted path is exercised, but salt factor / heavy-cell threshold come
     from the planner's sampled skew stats (not hard-coded), so only
     genuinely heavy cells replicate."""
-    pts = _points(spark, sf_dir)
+    pts = _cached_points(spark, sf_dir)
     regions = src.regions(spark)
     plan = planner.choose_pip_plan(pts, regions, force_strategy="shuffle")
     return pj.pip_join(
@@ -107,7 +121,7 @@ def _q_pip_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy, precision, salt, heavy-cell threshold from data stats) — the
     end-to-end plan-selection path; must agree with the oracle regardless of
     the chosen physical plan."""
-    pts = _points(spark, sf_dir)
+    pts = _cached_points(spark, sf_dir)
     regions = src.regions(spark)
     plan = planner.choose_pip_plan(pts, regions)
     return pj.pip_join(
@@ -558,7 +572,9 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_dedup_ngram(spark, sf_dir):
-    return dd.dedup_ngram(src.pages(spark, sf_dir))
+    # max_block=16 == the fixture's replica count, so sandbox output is
+    # unchanged while the boilerplate-block O(m^2) guard is exercised
+    return dd.dedup_ngram(src.pages(spark, sf_dir), max_block=16)
 
 
 def _q_dedup_embed(spark, sf_dir):
@@ -1025,7 +1041,7 @@ GROUP BY 1"""
         "dedup_exact": otxt.dedup_exact_sql(),
         "dedup_minhash": otxt.dedup_minhash_sql(max_bucket=DEDUP_MAX_BUCKET),
         "dedup_simhash": otxt.dedup_simhash_sql(max_bucket=DEDUP_MAX_BUCKET),
-        "dedup_ngram": otxt.dedup_ngram_sql(),
+        "dedup_ngram": otxt.dedup_ngram_sql(max_block=16),
         "dedup_embed": otxt.dedup_embed_sql(),
         "ann_topk": otxt.ann_topk_sql(),
         "ann_lsh": otxt.ann_lsh_topk_sql(),

@@ -62,8 +62,14 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     try:
         E.entry(spark).count()
+        # touch the TARGET-sf base tables so the OS page cache and parquet
+        # footers are warm before the first timed query (production reruns
+        # always see warm file caches; without this the first query pays a
+        # one-time cold-read unrelated to its own plan)
+        for t in ("documents", "events", "embeddings"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     except Exception as exc:  # warmup must never fail the bench
-        log(f"warmup entry() failed: {exc}")
+        log(f"warmup failed: {exc}")
     log(f"warmup {time.time() - t0:.1f}s  sf_dir={sf_dir} cpus={cpus}")
 
     headline = [

@@ -403,11 +403,18 @@ def dedup_ngram(
     k: int = 4,
     prefix: int = 40,
     threshold_ppm: int = 800_000,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Char-k-gram Jaccard near-dup with deterministic prefix blocking
     (non-probabilistic counterpart to MinHash): block on md5(first `prefix`
     chars) — replicas of one base doc share the block — then exact k-gram
-    Jaccard within blocks."""
+    Jaccard within blocks.
+
+    ``max_block`` caps per-block membership (smallest `max_block` ids kept,
+    row_number over id — oracle-mirrorable): boilerplate-heavy web text
+    (shared headers/cookie banners) collapses prefix blocks, and an
+    uncapped collapsed block is O(m²) pairs — the same 100 TB guard as
+    the LSH bucket cap."""
     # char-shingle hashes computed in-row via the array HOF (the md5 per
     # gram dominates either way; exploding positions and carrying the text
     # through the Generate measured ~60% slower)
@@ -422,6 +429,15 @@ def dedup_ngram(
         F.sort_array(F.collect_list("h")).alias("arr"),
         F.count(F.lit(1)).alias("n"),
     )
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("blk").orderBy("id")
+        arrs = (
+            arrs.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_block)
+            .drop("__rk")
+        )
     a = arrs.select(
         "blk", F.col("id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
     )

@@ -101,16 +101,25 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
 
 
 def dedup_ngram_sql(
-    k: int = 4, prefix: int = 40, threshold_ppm: int = 800_000
+    k: int = 4, prefix: int = 40, threshold_ppm: int = 800_000,
+    max_block: int | None = None,
 ) -> str:
     csh = TH.char_shingles_h_sql("text", k)
+    if max_block is not None:
+        sizes_src = (
+            "(SELECT id, blk, n FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY blk ORDER BY id ASC) AS rk FROM sizes) "
+            f"WHERE rk <= {max_block})"
+        )
+    else:
+        sizes_src = "sizes"
     return _with_pages(
         f"""raw AS (SELECT url AS id, md5(substr(text, 1, {prefix})) AS blk,
                 unnest({csh}) AS h FROM pages),
 base AS (SELECT DISTINCT id, blk, h FROM raw),
 sizes AS (SELECT id, blk, count(*) AS n FROM base GROUP BY 1, 2),
 cand AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb
-         FROM sizes a JOIN sizes b ON a.blk = b.blk AND a.id < b.id),
+         FROM {sizes_src} a JOIN {sizes_src} b ON a.blk = b.blk AND a.id < b.id),
 inter AS (SELECT c.id_a, c.id_b, c.na, c.nb, count(*) AS inter
           FROM cand c JOIN base sa ON sa.id = c.id_a JOIN base sb ON sb.id = c.id_b AND sb.h = sa.h
           GROUP BY 1, 2, 3, 4)
