@@ -34,7 +34,13 @@ _CELL_DEG = {
 }
 
 BROADCAST_LIMIT_CELLS = 2_000_000  # (cell, poly) rows we are happy to ship
-CELLS_PER_POLY_BUDGET = 256
+# Finest precision whose polyfill width stays under this bound.  The budget
+# deliberately leans FINE: one extra precision level multiplies the (cell,
+# poly) index ~32× but divides the exact-refine candidate set ~(cell
+# shrink)² — and refine (Arrow + PIP kernel per candidate) dominates end to
+# end (measured 4.5× slower at p3 vs p4 on the region fixture when a tight
+# 256 budget tipped the choice one level coarse).
+CELLS_PER_POLY_BUDGET = 1024
 
 
 @dataclass
