@@ -669,6 +669,16 @@ def _q_corpus_curate(spark, sf_dir):
     )
 
 
+def _q_lsh_bucket_stats(spark, sf_dir):
+    """Candidate-cap overflow report (no silent truncation: the capped
+    dedup queries ship with a driver-checked count of how many LSH buckets
+    exceeded DEDUP_MAX_BUCKET)."""
+    pages = src.pages(spark, sf_dir)
+    sets = dd.shingle_sets(pages)
+    sigs = dd.minhash_signatures(sets.select("id", F.explode("hs").alias("h")))
+    return dd.lsh_bucket_stats(sigs, max_bucket=DEDUP_MAX_BUCKET)
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark decontamination (training-data guard): flag pages sharing
     any 8-word-gram with the benchmark subset (documents doc_id%97==0).
@@ -740,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
+        "lsh_bucket_stats": _q_lsh_bucket_stats,
         "contamination": _q_contamination,
         "corpus_split": _q_corpus_split,
         "media_features": _q_media_features,
@@ -1049,6 +1060,7 @@ GROUP BY 1"""
         "lang_id": otxt.lang_id_sql(),
         "text_quality": otxt.text_quality_sql(),
         "doc_fingerprint": otxt.doc_fingerprint_sql(),
+        "lsh_bucket_stats": otxt.lsh_bucket_stats_sql(DEDUP_MAX_BUCKET),
         "contamination": otxt.contamination_sql(),
         "corpus_split": otxt.corpus_split_sql(),
         "corpus_curate": G(
