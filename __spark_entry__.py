@@ -414,6 +414,45 @@ def _q_flatten3d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLIP_WINDOW = (-100.25, -50.25, 100.25, 60.25)
 
+# fixed range bounds for the lineage-counts query: the s2 id space is
+# signed int64 (faces 4-5 wrap negative); these literals give 4 non-empty
+# partitions on the gazetteer cell distribution and are mirrored verbatim
+# in the oracle CASE
+_LINEAGE_BOUNDS = [-2_305_843_009_213_693_952, 2_305_843_009_213_693_952,
+                   4_611_686_018_427_387_904]
+
+
+def _q_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 lineage through the driver contract: materialize the points stage
+    via icelite range-partitioned on S2 cell ids (fixed bounds) and return
+    the per-partition lineage row counts.  The oracle independently derives
+    the same counts from the S2 kernel VALUES map + the bound CASE -- the
+    manifest row_count column is now driver-checked, not just unit-tested."""
+    import shutil
+    import tempfile
+
+    from geospatial_spark.icelite import catalog as ice
+
+    out = tempfile.mkdtemp(prefix="icelite_q_")
+    try:
+        pts = _points(spark, sf_dir)
+        s2c = udfs.s2_cell_udf(12)
+        staged = pts.withColumn("s2_cell", s2c(F.col("lat"), F.col("lon")))
+        ice.write_partitioned(
+            staged,
+            out,
+            "points",
+            stage="extract_geocode",
+            key_col="s2_cell",
+            batch_size=4,
+            range_bounds=list(_LINEAGE_BOUNDS),
+        )
+        lin = ice.lineage(spark, out, "points")
+        rows = lin.select("partition_id", "row_count").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "partition_id int, row_count bigint")
+
 
 def _q_clip_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U10 rect overlay: Sutherland–Hodgman clip of every region shell ring
@@ -734,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten3d_stats": _q_flatten3d,
         "clip_bbox": _q_clip_bbox,
         "geojson_regions": _q_geojson_regions,
+        "lineage_counts": _q_lineage_counts,
         "tile_to_cells": _q_tile_to_cells,
         "events_hourly": _q_events_hourly,
         "buffer_ring": _q_buffer_ring,
@@ -1039,6 +1079,16 @@ GROUP BY 1, 2, 3, 4"""
 SELECT vm.km_bucket, count(*) AS n
 FROM points p JOIN vm ON p.lat = vm.lat AND p.lon = vm.lon
 GROUP BY 1"""
+        ),
+        "lineage_counts": G(
+            f""", {osql.s2_gaz_map_values(12)},
+pcell AS (SELECT m.cell_id FROM points p JOIN s2m m ON p.lat = m.lat AND p.lon = m.lon),
+pidt AS (SELECT CASE WHEN cell_id <= -2305843009213693952 THEN 0
+                     WHEN cell_id <= 2305843009213693952 THEN 1
+                     WHEN cell_id <= 4611686018427387904 THEN 2 ELSE 3 END AS partition_id FROM pcell),
+cnt AS (SELECT partition_id, count(*) AS row_count FROM pidt GROUP BY 1)
+SELECT CAST(g.p AS INT) AS partition_id, CAST(coalesce(c.row_count, 0) AS BIGINT) AS row_count
+FROM (SELECT unnest(range(0, 4)) AS p) g LEFT JOIN cnt c ON c.partition_id = g.p"""
         ),
         "compact_regions": osql.compact_regions_values_sql(),
         "s2_compact_roundtrip": osql.s2_roundtrip_values_sql(12, 14),
