@@ -61,12 +61,19 @@ def compact_geohash_df(cells: DataFrame, col: str = "cell") -> DataFrame:
 def uncompact_geohash_df(cells: DataFrame, precision: int, col: str = "cell") -> DataFrame:
     """Expand every cell to `precision` (inverse of compact; gindex.py:414+
     semantics for geohash).  Each round multiplies only the coarse subset by
-    32 (explode) — finer-than-target input is an error upstream."""
+    32 (explode) — finer-than-target input is an error upstream.  Per-round
+    persists are released once the next round materializes (a long-lived
+    session otherwise accumulates one cached round per level)."""
     cur = cells.select(F.col(col).alias("cell")).distinct()
     children = F.array(*[F.lit(c) for c in _B32])
+    prev = None
     for _ in range(precision - 1):
         cur = cur.persist()
-        if cur.filter(F.length("cell") < precision).count() == 0:
+        n_coarse = cur.filter(F.length("cell") < precision).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
+        if n_coarse == 0:
             break
         coarse = cur.filter(F.length("cell") < precision)
         done = cur.filter(F.length("cell") >= precision)
@@ -76,7 +83,12 @@ def uncompact_geohash_df(cells: DataFrame, precision: int, col: str = "cell") ->
             ).alias("cell")
         )
         cur = done.unionByName(expanded)
-    return cur.distinct()
+    out = cur.distinct()
+    if prev is not None:
+        from ..functions import caching
+
+        caching.track(prev)  # released by the caller via caching.release_all
+    return out
 
 
 def _s2_lsb(c: F.Column) -> F.Column:
@@ -149,9 +161,14 @@ def uncompact_s2_df(cells: DataFrame, level: int, col: str = "cell_id") -> DataF
     cur = cells.select(F.col(col).cast("bigint").alias("cell_id")).distinct()
     target_lsb = 1 << (2 * (30 - level))
     ks = F.array(F.lit(-3), F.lit(-1), F.lit(1), F.lit(3))
+    prev = None
     for _ in range(30):
         cur = cur.persist()
-        if cur.filter(_s2_lsb(F.col("cell_id")) > target_lsb).count() == 0:
+        n_coarse = cur.filter(_s2_lsb(F.col("cell_id")) > target_lsb).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
+        if n_coarse == 0:
             break
         coarse = cur.filter(_s2_lsb(F.col("cell_id")) > target_lsb)
         done = cur.filter(_s2_lsb(F.col("cell_id")) <= target_lsb)
@@ -162,4 +179,9 @@ def uncompact_s2_df(cells: DataFrame, level: int, col: str = "cell_id") -> DataF
             ).alias("cell_id")
         )
         cur = done.unionByName(expanded)
-    return cur.distinct()
+    out = cur.distinct()
+    if prev is not None:
+        from ..functions import caching
+
+        caching.track(prev)  # released by the caller via caching.release_all
+    return out
