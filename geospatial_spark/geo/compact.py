@@ -47,10 +47,31 @@ def uncompact_geohash(cells: list[str], precision: int) -> list[str]:
     return sorted(out)
 
 
+_U64 = (1 << 64) - 1
+
+
+def _u(v) -> int:
+    """Unsigned 64-bit value of a (possibly signed) cell id — pure-python
+    masking instead of np.uint64(<negative>) scalar conversion, which numpy
+    deprecates (round-2 advice: will become an error on a future numpy)."""
+    return int(v) & _U64
+
+
+def _as_i64(cell_ids) -> np.ndarray:
+    """int64 ndarray from any mix of signed/unsigned 64-bit cell values.
+    astype() between int64/uint64 wraps silently (allowed); only array
+    construction from out-of-range python ints is deprecated — route those
+    through the mask."""
+    arr = np.asarray(cell_ids)
+    if arr.dtype == np.uint64 or arr.dtype.kind == "i":
+        return arr.astype(np.int64)
+    return np.array([_u(v) for v in arr], dtype=np.uint64).astype(np.int64)
+
+
 def compact_s2(cell_ids) -> np.ndarray:
     """Uniform-level input (reference reads level from cells[0],
     gindex.py:376)."""
-    cur = set(int(np.uint64(c)) for c in np.asarray(cell_ids, dtype=np.uint64))
+    cur = set(_u(c) for c in _as_i64(cell_ids))
     if not cur:
         return np.array([], dtype=np.int64)
     lvl = int(s2k.level(np.array([next(iter(cur))], dtype=np.uint64).astype(np.int64))[0])
@@ -61,23 +82,19 @@ def compact_s2(cell_ids) -> np.ndarray:
         if at.size == 0:
             break
         parents = s2k.parent(at, lv - 1)
-        cnt = Counter(int(np.uint64(p)) for p in parents)
+        cnt = Counter(_u(p) for p in parents)
         full = {p for p, n in cnt.items() if n == 4}
         if not full:
             break
-        keep = {
-            int(np.uint64(c))
-            for c, p in zip(at, parents)
-            if int(np.uint64(p)) not in full
-        }
-        others = cur - {int(np.uint64(c)) for c in at}
+        keep = {_u(c) for c, p in zip(at, parents) if _u(p) not in full}
+        others = cur - {_u(c) for c in at}
         cur = others | keep | full
     return np.array(sorted(cur), dtype=np.uint64).astype(np.int64)
 
 
 def uncompact_s2(cell_ids, level: int) -> np.ndarray:
     """Reference G5 (gindex.py:414-455): expand every cell to `level`."""
-    ids = np.asarray(cell_ids, dtype=np.uint64).astype(np.int64)
+    ids = _as_i64(cell_ids)
     if ids.size == 0:
         return ids
     lvls = s2k.level(ids)

@@ -120,7 +120,7 @@ def s2_polyfill(geom: gm.Geometry, level: int, mode: str = "intersects") -> np.n
     # iterative descent; each entry is a cell id (python int, uint64 value)
     while stack:
         cid = stack.pop()
-        arr = np.array([np.uint64(cid)], dtype=np.uint64).astype(np.int64)
+        arr = np.array([cid], dtype=np.uint64).astype(np.int64)
         lvl = int(s2k.level(arr)[0])
         verts = s2k.cell_vertices_latlng(arr)[0]  # (4,2) lat,lng
         vlat = verts[:, 0]
@@ -158,5 +158,7 @@ def s2_polyfill(geom: gm.Geometry, level: int, mode: str = "intersects") -> np.n
                 out.append(int(np.uint64(arr.view(np.uint64)[0])))
             continue
         for child in s2k.children(arr)[0]:
-            stack.append(int(np.uint64(child)))
+            # mask instead of np.uint64(<negative int64>) — the scalar
+            # conversion is deprecated for out-of-bound values
+            stack.append(int(child) & 0xFFFFFFFFFFFFFFFF)
     return np.array(sorted(set(out)), dtype=np.uint64).astype(np.int64)

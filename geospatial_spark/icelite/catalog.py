@@ -119,9 +119,29 @@ def write_partitioned(
     drift can never mis-assign rows relative to committed partitions.
     """
     man = current_manifest(root, table)
-    if man is not None and man.get("range_bounds") is not None:
-        # resume: the committed partitioning wins over recomputed bounds
-        range_bounds = man["range_bounds"]
+    if man is not None:
+        # resume guard (round-2 advice): the committed partitioning is the
+        # only valid one — silently proceeding with a different mode/bounds/
+        # partition count would assign remaining rows under a partitioning
+        # inconsistent with the committed files.
+        committed_bounds = man.get("range_bounds")
+        if committed_bounds is not None:
+            # committed bounds win over recomputed/omitted bounds (a rerun
+            # whose recomputed bounds drift can never mis-assign rows
+            # relative to committed partitions)
+            range_bounds = committed_bounds
+        else:
+            if range_bounds is not None:
+                raise ValueError(
+                    f"resume of hash-partitioned table {table!r} with "
+                    "range_bounds; the committed partitioning is hash"
+                )
+            if n_partitions != man["n_partitions"]:
+                raise ValueError(
+                    f"resume of table {table!r} with n_partitions="
+                    f"{n_partitions} but manifest committed "
+                    f"{man['n_partitions']} partitions"
+                )
     if range_bounds is not None:
         n_partitions = len(range_bounds) + 1
         pid_expr = F.lit(len(range_bounds))

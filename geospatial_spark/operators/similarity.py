@@ -126,7 +126,11 @@ def ann_lsh_topk(
 
 def ivf_centroid_step(n_rows: int, min_centroids: int = 16) -> int:
     """Deterministic-sampling stride giving ~√N centroids: every id with
-    id % step == 1 is a centroid.
+    id % step == 1 % step is a centroid (the ``1 % step`` form makes the
+    degenerate step == 1 select EVERY vector — round-2 advice: with the bare
+    ``id % 1 == 1`` filter a corpus under ~32 vectors silently selected zero
+    centroids and returned an empty result, mirrored by the oracle so the
+    gate could not see it).
 
     √N is the classic IVF balance point (assignment work N×C and per-list
     scan N/C·nprobe both grow as N^1.5 — vs N²/mod for the round-1 fixed
@@ -165,7 +169,7 @@ def ann_ivf_topk(
     keyed by list id, AQE-splittable when a list is hot."""
     step = ivf_centroid_step(emb_df.count())
     base = _scaled(emb_df, id_col, vec_col, dim)
-    cents = base.filter(F.col("id") % step == 1).select(
+    cents = base.filter(F.col("id") % step == 1 % step).select(
         F.col("id").alias("cent_id"),
         F.col("v").alias("cv"),
         F.col("norm2").alias("cn2"),

@@ -289,14 +289,16 @@ def ann_ivf_topk_sql(
         "sqrt(CAST(q_n2 AS DOUBLE) * CAST(c_n2 AS DOUBLE))) AS BIGINT)"
     )
     # mirror operators.similarity.ivf_centroid_step: ~sqrt(N) centroids via
-    # deterministic stride (floor(sqrt) on the double — same op both engines)
+    # deterministic stride (floor(sqrt) on the double — same op both engines);
+    # the `1 % step` right-hand side mirrors the step==1 degenerate case
+    # (every vector a centroid) exactly like the Spark filter
     step = (
         "greatest(1, (SELECT count(*) FROM embeddings) // "
         "greatest(16, CAST(floor(sqrt(CAST((SELECT count(*) FROM embeddings) AS DOUBLE))) AS BIGINT)))"
     )
     return f"""WITH base0 AS (SELECT vec_id AS id, {scaled} AS v FROM embeddings),
 base AS (SELECT id, v, {norm} AS norm2 FROM base0),
-cents AS (SELECT id AS cent_id, v AS cv, norm2 AS cn2 FROM base WHERE id % {step} = 1),
+cents AS (SELECT id AS cent_id, v AS cv, norm2 AS cn2 FROM base WHERE id % {step} = 1 % {step}),
 ranked AS (SELECT b.id, c.cent_id, b.v, b.norm2,
            row_number() OVER (PARTITION BY b.id ORDER BY {ccos} DESC, c.cent_id ASC) AS crank
            FROM base b CROSS JOIN cents c),

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -88,7 +89,10 @@ def _session_fn(gap_seconds: int):
         rows = rows.sort_values("ts", kind="mergesort")
         # whole-second epoch + exact cents — the batch twin's arithmetic
         eps = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
-        cents_arr = (rows["value"].to_numpy() * 100 + 0.5).astype("int64")
+        # np.floor before the cast: .astype truncates toward zero, which
+        # diverges from the batch twin's floor(x*100+0.5) for negative values
+        # (round-2 advice)
+        cents_arr = np.floor(rows["value"].to_numpy() * 100 + 0.5).astype("int64")
 
         if state.exists:
             start_ep, last_ep, n_ev, cents, n_closed = state.get

@@ -41,6 +41,20 @@ def test_utm_epsg_golden(spark):
     assert got == 32610
 
 
+def test_ann_ivf_tiny_corpus_nonempty(spark):
+    """Round-2 advice: with < ~32 vectors ivf_centroid_step returns 1 and the
+    old `id % 1 == 1` filter selected ZERO centroids → silently empty result.
+    The `1 % step` form makes every vector a centroid in that regime."""
+    from geospatial_spark.operators import similarity as sim
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(64)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = sim.ann_ivf_topk(df, query_mod=2, k=3).collect()
+    assert len(out) > 0
+    # every query id got at least one neighbor
+    assert {r["query_id"] for r in out} == {0, 2, 4, 6, 8}
+
+
 def test_tile_golden(spark):
     # Paris z12 == (2074, 1409) (public OSM slippy-map fact)
     df = spark.createDataFrame([(48.8566, 2.3522)], "lat double, lon double")

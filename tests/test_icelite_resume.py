@@ -129,6 +129,34 @@ def test_crash_window_orphan_ignored(spark, workdir):
     assert got == ref_rows  # orphan rows did NOT leak in
 
 
+def test_resume_partitioning_mismatch_raises(spark, workdir):
+    """Round-2 advice: resuming with a different partitioning than the
+    manifest committed must raise, not silently mis-assign remaining rows."""
+    df = _src(spark)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ice.write_partitioned(
+            df, workdir, "h", stage="s1", key_col="key", n_partitions=8,
+            batch_size=2, fail_after_batches=1,
+        )
+    # hash-committed + range requested → raise
+    with pytest.raises(ValueError, match="committed partitioning is hash"):
+        ice.write_partitioned(
+            df, workdir, "h", stage="s1", key_col="key", batch_size=2,
+            range_bounds=[100, 250],
+        )
+    # hash-committed + different n_partitions → raise
+    with pytest.raises(ValueError, match="n_partitions"):
+        ice.write_partitioned(
+            df, workdir, "h", stage="s1", key_col="key", n_partitions=4,
+            batch_size=2,
+        )
+    # matching partitioning resumes fine
+    man = ice.write_partitioned(
+        df, workdir, "h", stage="s1", key_col="key", n_partitions=8, batch_size=2
+    )
+    assert len(man["partitions"]) == 8
+
+
 def test_range_bounds_persisted_on_resume(spark, workdir):
     """Resume must reuse the COMMITTED range bounds even when the caller
     passes different (recomputed/drifted) bounds."""

@@ -62,7 +62,9 @@ def test_s2_compact_uncompact_identity(level_seed, lat, lon):
     kids = [int(c) for c in s2k.children(cell).ravel()]
     # complete family compacts to the parent; uncompact restores it
     compacted = [int(c) for c in lc.compact_s2(kids)]
-    assert compacted == sorted({int(cell[0])} | set(), key=lambda x: np.uint64(x))
+    assert compacted == sorted(
+        {int(cell[0])} | set(), key=lambda x: int(x) & 0xFFFFFFFFFFFFFFFF
+    )
     restored = sorted(int(c) for c in lc.uncompact_s2(compacted, level + 1))
     assert restored == sorted(kids)
 
