@@ -136,24 +136,43 @@ def _q_pip_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# K6 choropleth bin edges (explicit-bins semantics, karta.py:929-996): the
+# per-region count bins into bin k = #edges ≤ value; mirrored as a CASE in
+# the oracle.  Round-2 review item 6.
+PIP_BINS = (100, 1000, 10000)
+
+
 def _q_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pj.pip_join_counts(_q_pip_join(spark, sf_dir))
+    """U9 per-region counts + K6 explicit choropleth binning of the
+    aggregated measure (width_bucket semantics over PIP_BINS)."""
+    counts = pj.pip_join_counts(_q_pip_join(spark, sf_dir))
+    n = F.col("n_points")
+    b = F.when(n < PIP_BINS[0], 0)
+    for i in range(1, len(PIP_BINS)):
+        b = b.when(n < PIP_BINS[i], i)
+    return counts.withColumn("bin", b.otherwise(len(PIP_BINS)).cast("int"))
 
 
-def _q_tiles_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tiling.tile_assignments(_points(spark, sf_dir), zooms=(8,))
-
-
-def _q_tiles_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tiling.tile_assignments(_points(spark, sf_dir), zooms=(12,))
+def _q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3/K2 tile density raster at both headline zooms in ONE relation
+    (r2's tiles_z8 + tiles_z12 merged so the registry fits the driver's
+    check window; same operator, two zoom levels unioned)."""
+    return tiling.tile_assignments(_points(spark, sf_dir), zooms=(8, 12))
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir).select("url", "entity", "lat", "lon").distinct()
     gaz = [(n, la, lo) for _, n, la, lo, _ in C.gazetteer_rows()]
     out = knn_ops.knn_join_broadcast(pts, gaz, k=5)
+    # dist_mm exact int, not round(x, 3): double rounding is not
+    # engine-portable (round-2 advice on map_match; applied to every
+    # distance-surfacing query)
     return out.select(
-        "url", "entity", "neighbor_name", "rank", F.round("dist_m", 3).alias("dist_m")
+        "url",
+        "entity",
+        "neighbor_name",
+        "rank",
+        F.floor(F.col("dist_m") * 1000 + F.lit(0.5)).cast("bigint").alias("dist_mm"),
     )
 
 
@@ -186,12 +205,18 @@ def _q_haversine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_polyfill_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 polycell over the 64 region polygons at geohash precision 4 —
-    per-region covering-cell counts (oracle: closed-form quantized-grid
-    count, exact for rectangles)."""
-    return (
-        pj.polygon_cells(src.regions(spark), "region_id", 4)
-        .groupBy("region_id")
-        .agg(F.count(F.lit(1)).alias("n_cells"))
+    per-region covering-cell counts in BOTH fill modes: `intersects`
+    (geohash semantics, gindex.py:75) and `center` (the reference's H3
+    centroid-containment semantics, gindex.py:86 — driver-checked since r3,
+    round-2 review item 5).  Oracle: closed-form quantized-grid counts,
+    exact for rectangles."""
+    fill_i = udfs.geohash_polyfill_udf(4, mode="intersects")
+    fill_c = udfs.geohash_polyfill_udf(4, mode="center")
+    r = src.regions(spark)
+    return r.select(
+        "region_id",
+        F.size(fill_i(F.col("geometry"))).cast("bigint").alias("n_cells"),
+        F.size(fill_c(F.col("geometry"))).cast("bigint").alias("n_cells_center"),
     )
 
 
@@ -218,7 +243,11 @@ def _q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaz = src.gazetteer(spark).select("name", "lat", "lon")
     out = knn_ops.knn_join_cellring(pts, gaz, k=5, precision=2, max_ring=3)
     return out.select(
-        "url", "entity", "neighbor_name", "rank", F.round("dist_m", 3).alias("dist_m")
+        "url",
+        "entity",
+        "neighbor_name",
+        "rank",
+        F.floor(F.col("dist_m") * 1000 + F.lit(0.5)).cast("bigint").alias("dist_mm"),
     )
 
 
@@ -286,9 +315,23 @@ def _q_geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-rule tile output (z, x, y, s2_cell, n) — rows-only check (S2
-    ids are validated by kernel unit tests, not SQL-expressible)."""
-    return tiling.tile_cell_assignments(_points(spark, sf_dir), z=12, s2_level=12)
+    """North-rule tile output (z, x, y, cell_id, n_points) EXTENDED with the
+    S2 token + cell-center columns (r2's separate s2_cells query folded in —
+    token/center are functions of cell_id, so the merged relation exercises
+    the same UDFs while freeing a registry slot).  Oracle: local-kernel
+    VALUES map joined on the constant gazetteer coordinates."""
+    g = tiling.tile_cell_assignments(_points(spark, sf_dir), z=12, s2_level=12)
+    latf, lonf = udfs.s2_center_udfs()
+    return g.select(
+        "z",
+        "x",
+        "y",
+        "cell_id",
+        udfs.s2_token_udf(F.col("cell_id")).alias("token"),
+        latf(F.col("cell_id")).alias("center_lat"),
+        lonf(F.col("cell_id")).alias("center_lon"),
+        "n_points",
+    )
 
 
 def _q_compact_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +374,22 @@ def _q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ways_ops.map_match_snap(trace, nodes)
 
 
+def _q_map_match_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 scale path: the SAME trace snapped through the cell-ring kNN
+    equi-join (knn.knn_join_cellring, k=1) — must agree exactly with
+    `map_match` and shares its oracle (round-2 review item 3: nothing
+    proved the cell-ring snap agrees with the exact snap)."""
+    routes = _q_polyline_routes(spark, sf_dir)
+    trace = routes.select(
+        "traj_id",
+        "seq",
+        (F.col("lat_e6") / F.lit(1e6)).alias("lat"),
+        (F.col("lon_e6") / F.lit(1e6)).alias("lon"),
+    )
+    nodes = ways_ops.ways_nodes(ways_ops.ways_table(spark))
+    return ways_ops.map_match_cellring(trace, nodes)
+
+
 def _q_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5 marker-cluster transform (karta.py:757-766): coarse-cell groupBy
     with count + centroid.  Centroids via exact-int e6 sums (order-
@@ -357,38 +416,49 @@ def _q_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_uncompact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G4+G5 round-trip: union of region covers at geohash p5 → distributed
-    compact → distributed uncompact back to p5 — must restore EXACTLY the
-    original cell set (count pinned by the closed-form quantized-grid union
-    in the oracle; ref gindex.py:379-455)."""
+def _q_compact_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4+G5 round-trips for BOTH cell systems in one relation (r2's
+    uncompact_roundtrip + s2_compact_roundtrip folded — registry-window
+    room; identical operator coverage):
+
+    * geohash: union of region covers at p5 → distributed compact →
+      distributed uncompact back to p5 — must restore EXACTLY the original
+      cell set (count pinned by the closed-form quantized-grid union;
+      ref gindex.py:379-455); cells_xor NULL (string cells).
+    * s2: level-12 gazetteer cells → distributed uncompact to level 14
+      (complete 16-child families) → distributed compact — MUST fully
+      collapse back; count + order-insensitive bit_xor pin set equality
+      against the local kernel twins (geo/compact.py)."""
     from geospatial_spark.operators import compact as cmp_ops
 
     cells = pj.polygon_cells(src.regions(spark), "region_id", 5).select("cell").distinct()
     comp = cmp_ops.compact_geohash_df(cells)
     rest = cmp_ops.uncompact_geohash_df(comp, 5)
-    return rest.groupBy(F.length("cell").alias("res")).agg(
-        F.count(F.lit(1)).alias("n_cells")
+    gh_part = (
+        rest.groupBy(F.length("cell").cast("int").alias("res"))
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .select(
+            F.lit("geohash").alias("system"),
+            "res",
+            "n_cells",
+            F.lit(None).cast("bigint").alias("cells_xor"),
+        )
     )
-
-
-def _q_s2_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G4/G5 S2 side through the driver: level-12 gazetteer cells →
-    distributed uncompact to level 14 (complete 16-child families) →
-    distributed compact — which MUST fully collapse back to the original
-    set.  Pinned oracle: count + order-insensitive xor of the expected set
-    computed by the local kernel twins (geo/compact.py)."""
-    from geospatial_spark.operators import compact as cmp_ops
-
     gaz = src.gazetteer(spark)
     s2c = udfs.s2_cell_udf(12)
-    cells = gaz.select(s2c(F.col("lat"), F.col("lon")).alias("cell_id")).distinct()
-    kids = cmp_ops.uncompact_s2_df(cells, 14)
+    s2cells = gaz.select(s2c(F.col("lat"), F.col("lon")).alias("cell_id")).distinct()
+    kids = cmp_ops.uncompact_s2_df(s2cells, 14)
     back = cmp_ops.compact_s2_df(kids)
-    return back.agg(
+    s2_part = back.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.expr("bit_xor(cell_id)").alias("cells_xor"),
+    ).select(
+        F.lit("s2").alias("system"),
+        F.lit(12).cast("int").alias("res"),
+        "n_cells",
+        "cells_xor",
     )
+    return gh_part.unionByName(s2_part)
 
 
 def _q_flatten3d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +537,35 @@ def _q_clip_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10 CONVEX overlay (round-2 review item 4, ref gutils.py:532-600):
+    Sutherland–Hodgman clip of each region shell against the convex 16-gon
+    10 km buffer of every bbox-near gazetteer point — arbitrary half-planes,
+    i.e. clipped-geometry output beyond an axis-aligned window — reporting
+    the clipped ring's vertex count and exact e12-int intersection area
+    (NULLs when disjoint).  The candidate pairing is a broadcast bbox-margin
+    theta-join (both engines evaluate the identical margin expression); the
+    clip numbers come from the numpy kernel, mirrored in the oracle by a
+    VALUES map generated from the same kernel over the constant fixtures."""
+    m = osql.CLIP_CONVEX_MARGIN
+    r = src.regions(spark).select("region_id", "minx", "miny", "maxx", "maxy", "geometry")
+    g = src.gazetteer(spark).select("name", F.col("lat").alias("glat"), F.col("lon").alias("glon"))
+    pairs = r.join(
+        F.broadcast(g),
+        (F.col("glat") >= F.col("miny") - m)
+        & (F.col("glat") <= F.col("maxy") + m)
+        & (F.col("glon") >= F.col("minx") - m)
+        & (F.col("glon") <= F.col("maxx") + m),
+        "inner",
+    )
+    clip = udfs.clip_convex_udf(osql.CLIP_CONVEX_RADIUS_M, 16)
+    return pairs.select(
+        "region_id",
+        "name",
+        clip(F.col("geometry"), F.col("glat"), F.col("glon")).alias("__c"),
+    ).select("region_id", "name", "__c.*")
+
+
 def _q_geojson_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 GeoJSON writer path (karta.py:337-339): region polygons -> GeoJSON
     Feature strings, built entirely from JVM string/integer expressions
@@ -539,28 +638,6 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = src.read_split(spark, f"{sf_dir}/events.parquet")
     return sess.sessionize(ev, gap_seconds=1800)
-
-
-def _q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 pointcell + token + center (G3/N1 S2 side).  Oracle: the constant
-    gazetteer-coordinate → S2 mapping is computed by the LOCAL kernel at
-    oracle-generation time and inlined as VALUES (SURVEY §5 trick); the
-    oracle independently re-derives the points join + per-cell counts."""
-    pts = _points(spark, sf_dir)
-    s2c = udfs.s2_cell_udf(12)
-    latf, lonf = udfs.s2_center_udfs()
-    cells = (
-        pts.withColumn("cell_id", s2c(F.col("lat"), F.col("lon")))
-        .groupBy("cell_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return cells.select(
-        "cell_id",
-        udfs.s2_token_udf(F.col("cell_id")).alias("token"),
-        latf(F.col("cell_id")).alias("center_lat"),
-        lonf(F.col("cell_id")).alias("center_lon"),
-        "n",
-    )
 
 
 def _q_vincenty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,8 +725,10 @@ def _q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster assignment: connected components (min-label +
     pointer-jumping propagation) over SimHash STAR edges (bucket member →
     bucket-min, O(m) per bucket — replaces the round-1 all-pairs input) →
-    cluster sizes.  Rows-only (iterative; validated against a local
-    union-find oracle in tests/test_dedup_clusters.py)."""
+    cluster sizes.  EXACT oracle since r3: DuckDB recursive-CTE transitive
+    closure + min-label over the mirrored star-edge graph (was rows-only;
+    also still validated against a local union-find in
+    tests/test_dedup_clusters.py)."""
     edges = dd.simhash_star_edges(src.pages(spark, sf_dir))
     labels = dd.dedup_clusters(edges)
     return labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
@@ -659,7 +738,8 @@ def _q_dedup_clusters_star(spark, sf_dir):
     """MinHash star-edge clustering with exact-Jaccard edge verify: bucket
     member → bucket-min edges (O(m)), each edge verified by exact shingle
     Jaccard, connected components over the verified edges → cluster sizes.
-    The scale-safe replacement for clustering over all-pairs candidates."""
+    The scale-safe replacement for clustering over all-pairs candidates.
+    EXACT oracle since r3 (recursive-CTE closure, was rows-only)."""
     from pyspark import StorageLevel
 
     from geospatial_spark.functions import caching
@@ -679,13 +759,16 @@ def _q_dedup_clusters_star(spark, sf_dir):
 
 def _q_corpus_curate(spark, sf_dir):
     """End-to-end curation: exact-dup keeper election (window min over
-    sha256(text)) + quality gate → per-(lang, status) counts.  The
-    capstone composition of the dedup + quality operators."""
+    sha256(text)) + quality gate + deterministic hash train/val/test
+    assignment (textstats.split_assign, content-stable — never rand()) →
+    per-(lang, status, split) counts.  The capstone composition of the
+    dedup + quality + split operators (r2's separate corpus_split query
+    folded in as the third grouping dimension)."""
     from pyspark.sql import Window
 
     from geospatial_spark.functions import texthash as TH
 
-    pg = src.pages(spark, sf_dir)
+    pg = ts.split_assign(src.pages(spark, sf_dir))
     t = TH.tokens(F.col("text"))
     n_tok = F.size(t)
     uniq = F.size(F.array_distinct(t))
@@ -702,20 +785,27 @@ def _q_corpus_curate(spark, sf_dir):
         .otherwise("kept")
     )
     return (
-        pg.select("url", "lang", status.alias("status"))
-        .groupBy("lang", "status")
+        pg.select("url", "lang", "split", status.alias("status"))
+        .groupBy("lang", "status", "split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
-def _q_lsh_bucket_stats(spark, sf_dir):
-    """Candidate-cap overflow report (no silent truncation: the capped
-    dedup queries ship with a driver-checked count of how many LSH buckets
-    exceeded DEDUP_MAX_BUCKET)."""
+def _q_dedup_block_stats(spark, sf_dir):
+    """Candidate-cap overflow report for BOTH blocking families (no silent
+    truncation): MinHash-LSH bucket caps (DEDUP_MAX_BUCKET) and dedup_ngram
+    prefix-block caps (the lsh_bucket_stats twin the round-2 review asked
+    for, item 8) — one driver-checked row per family."""
     pages = src.pages(spark, sf_dir)
     sets = dd.shingle_sets(pages)
     sigs = dd.minhash_signatures(sets.select("id", F.explode("hs").alias("h")))
-    return dd.lsh_bucket_stats(sigs, max_bucket=DEDUP_MAX_BUCKET)
+    lsh = dd.lsh_bucket_stats(sigs, max_bucket=DEDUP_MAX_BUCKET).select(
+        F.lit("lsh_minhash").alias("family"), "n_buckets", "n_over_cap", "max_bucket_size"
+    )
+    ngr = dd.ngram_block_stats(pages, max_block=16).select(
+        F.lit("ngram_prefix").alias("family"), "n_buckets", "n_over_cap", "max_bucket_size"
+    )
+    return lsh.unionByName(ngr)
 
 
 def _q_contamination(spark, sf_dir):
@@ -728,22 +818,22 @@ def _q_contamination(spark, sf_dir):
     return ts.contamination(pages, bench)
 
 
-def _q_corpus_split(spark, sf_dir):
-    """Deterministic hash train/val/test split -> per-(lang, split) counts
-    (content-stable: never rand())."""
-    pg = ts.split_assign(src.pages(spark, sf_dir))
-    return pg.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
-
-
 def _q_media_features(spark, sf_dir):
-    return med.extract_features(med.media_table(spark, sf_dir))
-
-
-def _q_frame_samples(spark, sf_dir):
-    return med.frame_samples(_q_media_features(spark, sf_dir))
+    """P1 multimodal featureize (mapInPandas over binary payloads) + the
+    frame-sampling plan in one relation (r2's frame_samples folded in as a
+    per-video frame_idx explode; image/audio rows carry NULL frame_idx)."""
+    feats = med.extract_features(med.media_table(spark, sf_dir))
+    return med.frame_features(feats)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries, every one with an exact oracle_sql() twin — the
+    driver checks the first 50 in registry order (round-2 review item 1:
+    r2's 53-entry registry left 3 queries outside the check window; r3
+    merges near-duplicates — tiles z8+z12, the two compact round-trips,
+    s2_cells→s2_tiles, frame_samples→media_features, corpus_split→
+    corpus_curate — and upgrades the two cluster queries from rows-only to
+    recursive-CTE oracles so nothing is unchecked)."""
     return {
         "pages_invariant": _q_pages_invariant,
         "extract_geocode": _q_extract_geocode,
@@ -751,8 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_salted": _q_pip_join_salted,
         "pip_join_planned": _q_pip_join_planned,
         "pip_counts": _q_pip_counts,
-        "tiles_z8": _q_tiles_z8,
-        "tiles_z12": _q_tiles_z12,
+        "tiles": _q_tiles,
         "knn_k5": _q_knn,
         "utm_zone": _q_utm_zone,
         "haversine_buckets": _q_haversine_buckets,
@@ -767,18 +856,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vincenty_buckets": _q_vincenty_buckets,
         "ways_classify": _q_ways_classify,
         "map_match": _q_map_match,
+        "map_match_cellring": _q_map_match_cellring,
         "cluster_cells": _q_cluster_cells,
-        "uncompact_roundtrip": _q_uncompact_roundtrip,
-        "s2_compact_roundtrip": _q_s2_compact_roundtrip,
+        "compact_roundtrips": _q_compact_roundtrips,
         "flatten3d_stats": _q_flatten3d,
         "clip_bbox": _q_clip_bbox,
+        "clip_convex": _q_clip_convex,
         "geojson_regions": _q_geojson_regions,
         "lineage_counts": _q_lineage_counts,
         "tile_to_cells": _q_tile_to_cells,
         "events_hourly": _q_events_hourly,
         "buffer_ring": _q_buffer_ring,
         "sessionize": _q_sessionize,
-        "s2_cells": _q_s2_cells,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -790,14 +879,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
-        "lsh_bucket_stats": _q_lsh_bucket_stats,
+        "dedup_block_stats": _q_dedup_block_stats,
         "contamination": _q_contamination,
-        "corpus_split": _q_corpus_split,
+        "corpus_curate": _q_corpus_curate,
         "media_features": _q_media_features,
-        "frame_samples": _q_frame_samples,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
-        "corpus_curate": _q_corpus_curate,
     }
 
 
@@ -810,6 +897,22 @@ def _quant_sql(coord: str, lo: float, span: float, cells: int) -> str:
         f"least({cells - 1}, greatest(0, "
         f"CAST(floor((({coord}) + {lo!r}) / {span!r} * {float(cells)!r}) AS BIGINT)))"
     )
+
+
+def _center_span_sql(
+    lo_expr: str, hi_expr: str, lo: float, span: float, cells: int
+) -> str:
+    """Closed-form count of grid cells whose CENTER falls in [lo_expr,
+    hi_expr) on one axis (center-mode polyfill, PIP half-open convention):
+    c_i = (i+0.5)·w − lo ∈ window ⟺ i ∈ [ceil((minv+lo)/w − 0.5),
+    floor((maxv+lo)/w − 0.5)], clipped to the grid like the kernel's
+    candidate range."""
+    w = span / cells
+    lo_i = f"greatest(0, CAST(ceil((({lo_expr}) + {lo!r}) / {w!r} - 0.5) AS BIGINT))"
+    hi_i = (
+        f"least({cells - 1}, CAST(floor((({hi_expr}) + {lo!r}) / {w!r} - 0.5) AS BIGINT))"
+    )
+    return f"greatest(0, ({hi_i}) - ({lo_i}) + 1)"
 
 
 def _geohash2_sql(qx: str, qy: str) -> str:
@@ -885,20 +988,25 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_salted": G(pip_sql),
         "pip_join_planned": G(pip_sql),
         "pip_counts": G(
-            "SELECT r.region_id, count(*) AS n_points FROM points p JOIN regions r ON "
+            ", pc AS (SELECT r.region_id, count(*) AS n_points FROM points p JOIN regions r ON "
             "p.lon >= r.minx AND p.lon <= r.maxx AND p.lat >= r.miny AND p.lat <= r.maxy "
-            "GROUP BY r.region_id"
+            "GROUP BY r.region_id)\n"
+            "SELECT region_id, n_points, CAST(CASE "
+            + " ".join(
+                f"WHEN n_points < {edge} THEN {i}" for i, edge in enumerate(PIP_BINS)
+            )
+            + f" ELSE {len(PIP_BINS)} END AS INT) AS bin FROM pc"
         ),
-        "tiles_z8": G(
+        "tiles": G(
             f"SELECT 8 AS z, {udfs.tile_x_sql('lon', 8)} AS x, {udfs.tile_y_sql('lat', 8)} AS y, "
-            "count(*) AS n_points FROM points GROUP BY 1, 2, 3"
-        ),
-        "tiles_z12": G(
+            "count(*) AS n_points FROM points GROUP BY 1, 2, 3\n"
+            "UNION ALL "
             f"SELECT 12 AS z, {udfs.tile_x_sql('lon', 12)} AS x, {udfs.tile_y_sql('lat', 12)} AS y, "
             "count(*) AS n_points FROM points GROUP BY 1, 2, 3"
         ),
         "knn_k5": G(
-            "SELECT url, entity, neighbor_name, CAST(rank AS INT) AS rank, round(dist_m, 3) AS dist_m FROM ("
+            "SELECT url, entity, neighbor_name, CAST(rank AS INT) AS rank, "
+            "CAST(floor(dist_m * 1000 + 0.5) AS BIGINT) AS dist_mm FROM ("
             "  SELECT p.url, p.entity, g.name AS neighbor_name, "
             f"         {d_gaz} AS dist_m, "
             f"         row_number() OVER (PARTITION BY p.url, p.entity ORDER BY {d_gaz} ASC, g.name ASC) AS rank "
@@ -918,7 +1026,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT region_id, "
             f"({_quant_sql('maxx', 180.0, 360.0, 1024)} - {_quant_sql('minx', 180.0, 360.0, 1024)} + 1) * "
             f"({_quant_sql('maxy', 90.0, 180.0, 1024)} - {_quant_sql('miny', 90.0, 180.0, 1024)} + 1) "
-            "AS n_cells FROM regions"
+            "AS n_cells, "
+            # center mode: PIP half-open convention minx <= c < maxx with
+            # cell center c_i = (i+0.5)*w - lo; per-axis index window
+            # [ceil((minx+lo)/w - 0.5), floor((maxx+lo)/w - 0.5)] clipped to
+            # the grid (matches the kernel's candidate clip)
+            f"{_center_span_sql('minx', 'maxx', 180.0, 360.0, 1024)} * "
+            f"{_center_span_sql('miny', 'maxy', 90.0, 180.0, 1024)} "
+            "AS n_cells_center FROM regions"
         ),
         "cell_bboxes": G(
             f""", q AS (SELECT {_quant_sql('lon', 180.0, 360.0, 8192)} AS qx,
@@ -947,7 +1062,8 @@ scored AS (SELECT url, entity, name AS neighbor_name,
 ranked AS (SELECT *, row_number() OVER (PARTITION BY url, entity
            ORDER BY dist_m ASC, neighbor_name ASC) AS rank FROM scored)
 SELECT url, entity, neighbor_name, CAST(rank AS INT) AS rank,
-       round(dist_m, 3) AS dist_m FROM ranked WHERE rank <= 5"""
+       CAST(floor(dist_m * 1000 + 0.5) AS BIGINT) AS dist_mm
+FROM ranked WHERE rank <= 5"""
         ),
         "color_map": G(
             f""", e AS (SELECT entity, count(*) AS n FROM points GROUP BY 1),
@@ -989,7 +1105,28 @@ mcand AS (SELECT t.traj_id, t.seq, n.way_id AS snap_way, n.node_seq AS snap_seq,
           FROM trace t CROSS JOIN nodes n),
 mr AS (SELECT *, row_number() OVER (PARTITION BY traj_id, seq
        ORDER BY dist_m ASC, snap_way ASC, snap_seq ASC) AS rk FROM mcand)
-SELECT traj_id, seq, snap_way, snap_seq, round(dist_m, 3) AS dist_m
+SELECT traj_id, seq, snap_way, snap_seq,
+       CAST(floor(dist_m * 1000 + 0.5) AS BIGINT) AS dist_mm
+FROM mr WHERE rk = 1"""
+        ),
+        # the cell-ring scale path must agree EXACTLY with the broadcast
+        # snap — same oracle (round-2 review item 3)
+        "map_match_cellring": G(
+            f""", {osql.ways_ctes()},
+nodes AS (SELECT way_id, CAST(o - 1 AS INT) AS node_seq,
+                 coords[o].lon AS nlon, coords[o].lat AS nlat
+          FROM ways, LATERAL (SELECT unnest(range(1, len(coords) + 1)) AS o) t),
+trace AS (SELECT i // 10 AS traj_id, CAST(i % 10 AS INT) AS seq,
+                 CAST(lat * 1e6 AS BIGINT) / 1000000.0 AS tlat,
+                 CAST(lon * 1e6 AS BIGINT) / 1000000.0 AS tlon
+          FROM gaz),
+mcand AS (SELECT t.traj_id, t.seq, n.way_id AS snap_way, n.node_seq AS snap_seq,
+                 {hav.format(lat1="t.tlat", lon1="t.tlon", lat2="n.nlat", lon2="n.nlon")} AS dist_m
+          FROM trace t CROSS JOIN nodes n),
+mr AS (SELECT *, row_number() OVER (PARTITION BY traj_id, seq
+       ORDER BY dist_m ASC, snap_way ASC, snap_seq ASC) AS rk FROM mcand)
+SELECT traj_id, seq, snap_way, snap_seq,
+       CAST(floor(dist_m * 1000 + 0.5) AS BIGINT) AS dist_mm
 FROM mr WHERE rk = 1"""
         ),
         "cluster_cells": G(
@@ -1003,7 +1140,7 @@ cg AS (SELECT cell, count(*) AS n, sum(lat6) AS slat, sum(lon6) AS slon
 SELECT cell, n, CAST(floor(slat / n) AS BIGINT) AS c_lat_e6,
        CAST(floor(slon / n) AS BIGINT) AS c_lon_e6 FROM cg"""
         ),
-        "uncompact_roundtrip": G(
+        "compact_roundtrips": G(
             f""", qr AS (SELECT {_quant_sql('minx', 180.0, 360.0, 8192)} AS x0,
                    {_quant_sql('maxx', 180.0, 360.0, 8192)} AS x1,
                    {_quant_sql('miny', 90.0, 180.0, 4096)} AS y0,
@@ -1011,7 +1148,11 @@ SELECT cell, n, CAST(floor(slat / n) AS BIGINT) AS c_lat_e6,
 cov AS (SELECT DISTINCT qx, qy FROM qr,
         LATERAL (SELECT unnest(range(qr.x0, qr.x1 + 1)) AS qx) a,
         LATERAL (SELECT unnest(range(qr.y0, qr.y1 + 1)) AS qy) b)
-SELECT CAST(5 AS INT) AS res, count(*) AS n_cells FROM cov"""
+SELECT 'geohash' AS system, CAST(5 AS INT) AS res, count(*) AS n_cells,
+       CAST(NULL AS BIGINT) AS cells_xor FROM cov
+UNION ALL
+SELECT 's2' AS system, CAST(12 AS INT) AS res, n_cells, cells_xor
+FROM ({osql.s2_roundtrip_values_sql(12, 14)})"""
         ),
         "flatten3d_stats": G(
             "SELECT region_id, CAST(1 AS INT) AS n_shells, CAST(1 AS INT) AS n_holes, "
@@ -1048,6 +1189,17 @@ SELECT z, x, y,
 FROM tb"""
         ),
         "buffer_ring": _buffer_ring_oracle_sql(),
+        "clip_convex": G(
+            f""", {osql.clip_convex_values()},
+pairs AS (SELECT r.region_id, g.name FROM regions r JOIN gaz g
+          ON g.lat >= r.miny - {osql.CLIP_CONVEX_MARGIN!r}
+         AND g.lat <= r.maxy + {osql.CLIP_CONVEX_MARGIN!r}
+         AND g.lon >= r.minx - {osql.CLIP_CONVEX_MARGIN!r}
+         AND g.lon <= r.maxx + {osql.CLIP_CONVEX_MARGIN!r})
+SELECT p.region_id, p.name, CAST(cm.n_vertices AS INT) AS n_vertices,
+       CAST(cm.area_e12 AS BIGINT) AS area_e12
+FROM pairs p LEFT JOIN cm ON cm.region_id = p.region_id AND cm.name = p.name"""
+        ),
         "geojson_regions": G(
             f"""SELECT region_id,
        '{{"type":"Feature","properties":{{"region_id":"' || region_id ||
@@ -1061,18 +1213,12 @@ FROM tb"""
 FROM regions"""
         ),
 
-        "s2_cells": G(
-            f""", {osql.s2_gaz_map_values(12)}
-SELECT m.cell_id, m.token, m.center_lat, m.center_lon, count(*) AS n
-FROM points p JOIN s2m m ON p.lat = m.lat AND p.lon = m.lon
-GROUP BY 1, 2, 3, 4"""
-        ),
         "s2_tiles": G(
             f""", {osql.s2_gaz_map_values(12)}
 SELECT 12 AS z, {udfs.tile_x_sql('p.lon', 12)} AS x, {udfs.tile_y_sql('p.lat', 12)} AS y,
-       m.cell_id, count(*) AS n_points
+       m.cell_id, m.token, m.center_lat, m.center_lon, count(*) AS n_points
 FROM points p JOIN s2m m ON p.lat = m.lat AND p.lon = m.lon
-GROUP BY 1, 2, 3, 4"""
+GROUP BY 1, 2, 3, 4, 5, 6, 7"""
         ),
         "vincenty_buckets": G(
             f""", {osql.vincenty_gaz_map_values()}
@@ -1091,7 +1237,6 @@ SELECT CAST(g.p AS INT) AS partition_id, CAST(coalesce(c.row_count, 0) AS BIGINT
 FROM (SELECT unnest(range(0, 4)) AS p) g LEFT JOIN cnt c ON c.partition_id = g.p"""
         ),
         "compact_regions": osql.compact_regions_values_sql(),
-        "s2_compact_roundtrip": osql.s2_roundtrip_values_sql(12, 14),
         "sessionize": sess_ops.sessionize_sql(1800),
         "events_hourly": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
@@ -1110,26 +1255,27 @@ FROM (SELECT unnest(range(0, 4)) AS p) g LEFT JOIN cnt c ON c.partition_id = g.p
         "lang_id": otxt.lang_id_sql(),
         "text_quality": otxt.text_quality_sql(),
         "doc_fingerprint": otxt.doc_fingerprint_sql(),
-        "lsh_bucket_stats": otxt.lsh_bucket_stats_sql(DEDUP_MAX_BUCKET),
+        "dedup_block_stats": otxt.dedup_block_stats_sql(
+            max_bucket=DEDUP_MAX_BUCKET, max_block=16
+        ),
         "contamination": otxt.contamination_sql(),
-        "corpus_split": otxt.corpus_split_sql(),
         "corpus_curate": G(
             f""", q AS (
   SELECT url, lang, sha256(text) AS sha,
+    CASE WHEN {otxt.TH.h60_sql('url')} % 100 < 98 THEN 'train'
+         WHEN {otxt.TH.h60_sql('url')} % 100 < 99 THEN 'val' ELSE 'test' END AS split,
     CAST(floor(1e6 * (0.5 * len(list_distinct({otxt.TH.tokens_sql('text')})) /
          greatest(len({otxt.TH.tokens_sql('text')}), 1) +
          0.5 * least(len({otxt.TH.tokens_sql('text')}), 200) / 200.0)) AS BIGINT) AS quality
   FROM pages
 ),
 k AS (SELECT *, min(url) OVER (PARTITION BY sha) AS keeper FROM q),
-s AS (SELECT lang, CASE WHEN url <> keeper THEN 'dup'
+s AS (SELECT lang, split, CASE WHEN url <> keeper THEN 'dup'
                         WHEN quality < 400000 THEN 'lowq'
                         ELSE 'kept' END AS status FROM k)
-SELECT lang, status, count(*) AS n FROM s GROUP BY 1, 2"""
+SELECT lang, status, split, count(*) AS n FROM s GROUP BY 1, 2, 3"""
         ),
-        "media_features": otxt.media_features_sql(),
-        "frame_samples": (
-            f"SELECT media_id, unnest(range(0, n_frames, 16)) AS frame_idx "
-            f"FROM ({otxt.media_features_sql()}) WHERE kind = 'video'"
-        ),
+        "media_features": otxt.media_frame_features_sql(),
+        "dedup_clusters": otxt.dedup_clusters_sql(),
+        "dedup_clusters_star": otxt.dedup_clusters_star_sql(),
     }

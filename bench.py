@@ -77,8 +77,7 @@ def main() -> None:
         "pip_join",
         "pip_join_salted",
         "pip_counts",
-        "tiles_z8",
-        "tiles_z12",
+        "tiles",
         "knn_k5",
         "pages_invariant",
         # training-data pipeline ops (present from the op-widening commits on)
@@ -140,15 +139,12 @@ def main() -> None:
         else None
     )
     # tile throughput = point→tile assignments processed (input points ×
-    # zoom levels), not distinct output tiles
+    # zoom levels), not distinct output tiles; the `tiles` query computes
+    # both zooms in one relation (r3 merge of tiles_z8 + tiles_z12)
     n_points = rowcounts.get("extract_geocode", 0)
     tile_aps = (
-        round(
-            (2 * n_points)
-            / max(timings.get("tiles_z8", 0) + timings.get("tiles_z12", 0), 1e-9),
-            1,
-        )
-        if "tiles_z8" in timings and n_points
+        round((2 * n_points) / max(timings.get("tiles", 0), 1e-9), 1)
+        if "tiles" in timings and n_points
         else None
     )
 

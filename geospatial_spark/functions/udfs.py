@@ -484,6 +484,36 @@ def clip_rect_udf(wminx: float, wminy: float, wmaxx: float, wmaxy: float):
     return _clip
 
 
+def clip_convex_udf(radius_m: float = 10000.0, n_vertices: int = 16):
+    """U10 convex overlay (reference poverlay, gutils.py:532-600 scope):
+    clip the geometry's shell ring (parsed from WKB) against the convex
+    16-gon buffer of a point — Sutherland–Hodgman with arbitrary half-planes
+    (``geo.geom.clip_ring_convex``), i.e. clipped-geometry output beyond an
+    axis-aligned window.  Emits the clipped ring's vertex count and its
+    planar shoelace area as an exact e12 int (floor(|area_deg²|·1e12+0.5));
+    NULLs when disjoint.  All trig/clip math is numpy — the oracle's VALUES
+    map is generated by the same kernel, so parity is bit-exact."""
+
+    @pandas_udf("n_vertices int, area_e12 bigint")
+    def _clip(wkb: pd.Series, glat: pd.Series, glon: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf, la, lo in zip(wkb, glat, glon):
+            if buf is None:
+                rows.append((None, None))
+                continue
+            g = gm.parse_wkb(bytes(buf))
+            cr = gm.buffer_ring_numpy(float(la), float(lo), radius_m, n_vertices)
+            ring = gm.clip_ring_convex(g.parts[0][0], cr)
+            if ring is None:
+                rows.append((None, None))
+            else:
+                area = abs(gm.ring_area_planar(ring))
+                rows.append((len(ring) - 1, int(np.floor(area * 1e12 + 0.5))))
+        return pd.DataFrame(rows, columns=["n_vertices", "area_e12"])
+
+    return _clip
+
+
 # --------------------------------------------------------------------------
 # GeoJSON writer (K4: karta.py:337-339 `__geo_interface__` / to_json path)
 # --------------------------------------------------------------------------

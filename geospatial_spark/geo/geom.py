@@ -317,6 +317,84 @@ def clip_ring_to_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray | 
     return arr
 
 
+def buffer_ring_numpy(
+    lat: float, lon: float, radius_m: float, n_vertices: int = 16
+) -> np.ndarray:
+    """Great-circle buffer polygon of a point as an (n+1, 2) closed (lon,
+    lat) ring — numpy twin of operators.buffer._dest (same spherical
+    destination formula, R = 6371008.8).  Vertex k at bearing 2πk/n, so the
+    compass sweep makes the ring CLOCKWISE in lon/lat space
+    (clip_ring_convex handles either orientation)."""
+    from . import distance as dist
+
+    theta = 2.0 * np.pi * np.arange(n_vertices, dtype=np.float64) / n_vertices
+    delta = radius_m / dist.EARTH_RADIUS_M
+    phi1 = math.radians(lat)
+    lam1 = math.radians(lon)
+    sin_phi2 = math.sin(phi1) * math.cos(delta) + math.cos(phi1) * math.sin(
+        delta
+    ) * np.cos(theta)
+    phi2 = np.arcsin(sin_phi2)
+    lam2 = lam1 + np.arctan2(
+        np.sin(theta) * math.sin(delta) * math.cos(phi1),
+        math.cos(delta) - math.sin(phi1) * sin_phi2,
+    )
+    ring = np.column_stack([np.degrees(lam2), np.degrees(phi2)])
+    return np.vstack([ring, ring[:1]])
+
+
+def clip_ring_convex(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:
+    """Sutherland–Hodgman clip of a ring against an arbitrary CONVEX clip
+    polygon — the general half-plane form of ``clip_ring_to_rect`` (round-2
+    review item 4; reference poverlay ``gutils.py:532-600``).  Both rings are
+    (n, 2) (lon, lat); closed or open accepted; clip orientation detected
+    from its signed area.  Returns the closed clipped ring or None."""
+
+    def open_pts(r: np.ndarray) -> list[tuple[float, float]]:
+        pts = [tuple(p) for p in r]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        return pts
+
+    cpts = open_pts(np.asarray(clip_ring, dtype=np.float64))
+    # signed area of the clip polygon: >0 → CCW (inside = left of each edge)
+    sa = sum(
+        cpts[k][0] * cpts[(k + 1) % len(cpts)][1]
+        - cpts[(k + 1) % len(cpts)][0] * cpts[k][1]
+        for k in range(len(cpts))
+    )
+    sign = 1.0 if sa >= 0 else -1.0
+    pts = open_pts(np.asarray(ring, dtype=np.float64))
+    for k in range(len(cpts)):
+        if not pts:
+            return None
+        a = cpts[k]
+        b = cpts[(k + 1) % len(cpts)]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+
+        def side(p):
+            return sign * (ex * (p[1] - a[1]) - ey * (p[0] - a[0]))
+
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur = pts[i]
+            prv = pts[i - 1]
+            cin, pin = side(cur) >= 0, side(prv) >= 0
+            if cin != pin:
+                sc, sp = side(cur), side(prv)
+                t = sp / (sp - sc)
+                out.append(
+                    (prv[0] + t * (cur[0] - prv[0]), prv[1] + t * (cur[1] - prv[1]))
+                )
+            if cin:
+                out.append(cur)
+        pts = out
+    if len(pts) < 3:
+        return None
+    return np.array(pts + [pts[0]], dtype=np.float64)
+
+
 def ring_area_planar(ring: np.ndarray) -> float:
     """Signed shoelace area (planar units of the ring's CRS)."""
     x = ring[:, 0]

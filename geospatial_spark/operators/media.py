@@ -101,6 +101,22 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     )
 
 
+def frame_features(features_df: DataFrame, every: int = 16) -> DataFrame:
+    """Features + frame-sampling plan in one relation: video rows explode to
+    one row per sampled frame index (0, every, 2·every, …) carrying the
+    media's features; image/audio rows surface once with a NULL frame_idx.
+    Pure JVM sequence/explode on top of the mapInPandas featureizer —
+    the merged driver query for P1 + frame sampling."""
+    idx = F.when(
+        F.col("kind") == "video",
+        F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1, F.lit(every).cast("bigint")),
+    ).otherwise(F.array(F.lit(None).cast("bigint")))
+    return features_df.select(
+        "media_id", "kind", "byte_len", "n_frames", "f0", "f1", "f2", "f3",
+        F.explode(idx).alias("frame_idx"),
+    )
+
+
 def frame_samples(features_df: DataFrame, every: int = 16) -> DataFrame:
     """Video frame sampling plan: explode sampled frame indices (0, every,
     2*every, …) for video rows — pure JVM sequence/explode."""

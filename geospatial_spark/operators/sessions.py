@@ -24,10 +24,16 @@ def sessionize(
     ts: str = "ts",
     value: str = "value",
 ) -> DataFrame:
-    """Output: (user_id, session_seq, start_hour string, n_events, cents).
+    """Output: (user_id, session_id, start_ts string, n_events, cents).
 
-    Timestamps surface as tz-free formatted strings; money as exact cents
-    (floor(x*100+0.5)) — float-free for the oracle compare."""
+    ``session_id = floor(min(epoch))`` — a CONTENT-STABLE identity (the
+    whole-second epoch of the session's first event) instead of the round-2
+    per-user ordinal: an ordinal forces any stateful twin to remember how
+    many sessions a user ever had, so streaming state could never be
+    dropped (round-2 review item 2).  Sessions of one user are >gap apart,
+    so first-event epochs are unique per user.  Timestamps surface as
+    tz-free formatted strings; money as exact cents (floor(x*100+0.5)) —
+    float-free for the oracle compare."""
     w = Window.partitionBy(user).orderBy(F.col(ts).asc(), F.col("event_id").asc())
     # Fractional-seconds epoch (timestamp → double), exactly mirroring the
     # oracle's epoch(ts): gap math must see sub-second parts identically on
@@ -52,11 +58,12 @@ def sessionize(
     return (
         sess.groupBy(user, "session_seq")
         .agg(
+            F.floor(F.min(epoch)).cast("bigint").alias("session_id"),
             F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum(cents).alias("cents"),
         )
-        .select(user, "session_seq", "start_ts", "n_events", "cents")
+        .select(user, "session_id", "start_ts", "n_events", "cents")
     )
 
 
@@ -75,8 +82,8 @@ s AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM g
 )
-SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+SELECT user_id, CAST(floor(min(ep)) AS BIGINT) AS session_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
        count(*) AS n_events,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-FROM s GROUP BY 1, 2"""
+FROM s GROUP BY user_id, session_seq"""

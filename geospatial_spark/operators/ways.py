@@ -99,8 +99,12 @@ def map_match_snap(
 
     Exact nearest over the node set via a broadcast-able cross join + window
     rank (node fixture is small); on a 100 TB trace table the identical
-    semantics run through ``knn.knn_join_cellring`` — this entry point keeps
-    the oracle-expressible exact form.  Tie-break: (dist, way_id, node_seq).
+    semantics run through ``map_match_cellring`` below — this entry point
+    keeps the oracle-expressible exact form.  Tie-break: (dist, way_id,
+    node_seq).  The snap distance surfaces as ``dist_mm = floor(dist_m *
+    1000 + 0.5)`` exact bigint — round(double, 3) is NOT engine-portable
+    (Spark rounds the shortest decimal repr HALF_UP, DuckDB scales the
+    binary double; round-2 advice), integer floor of identical doubles is.
     """
     from ..functions import udfs
 
@@ -125,8 +129,53 @@ def map_match_snap(
             *trace_cols,
             "snap_way",
             "snap_seq",
-            F.round("dist_m", 3).alias("dist_m"),
+            F.floor(F.col("dist_m") * 1000 + F.lit(0.5)).cast("bigint").alias("dist_mm"),
         )
+    )
+
+
+def map_match_cellring(
+    trace_df: DataFrame,
+    ways_nodes_df: DataFrame,
+    *,
+    trace_cols: tuple[str, ...] = ("traj_id", "seq"),
+    lat: str = "lat",
+    lon: str = "lon",
+    precision: int = 2,
+    max_ring: int = 3,
+) -> DataFrame:
+    """O3 at scale: the SAME snap semantics as ``map_match_snap`` routed
+    through the cell-ring kNN equi-join (``knn.knn_join_cellring``, k=1) —
+    no cross join, one shuffle keyed by probe cell.  Registered as a driver
+    query that must agree exactly with the broadcast snap AND its oracle
+    (round-2 review: the scale path was never exercised *as map matching*).
+
+    Node identity rides as a zero-padded sortable key so the cell-ring
+    tie-break (dist, key) equals the exact path's (dist, way_id, node_seq).
+    Exactness holds whenever the nearest node lies within ``max_ring`` cells
+    — guaranteed for traces decoded from the ways' own geometry (snap
+    distance ≈ e6 quantization, ≪ one precision-2 cell)."""
+    from . import knn as knn_ops
+
+    nodes = ways_nodes_df.select(
+        F.concat(
+            F.lpad(F.col("way_id").cast("string"), 8, "0"),
+            F.lit("-"),
+            F.lpad(F.col("node_seq").cast("string"), 6, "0"),
+        ).alias("name"),
+        F.col("lat"),
+        F.col("lon"),
+    )
+    out = knn_ops.knn_join_cellring(
+        trace_df, nodes, k=1, precision=precision, max_ring=max_ring,
+        lat=lat, lon=lon,
+    )
+    key = F.split(F.col("neighbor_name"), "-")
+    return out.select(
+        *trace_cols,
+        key.getItem(0).cast("bigint").alias("snap_way"),
+        key.getItem(1).cast("int").alias("snap_seq"),
+        F.floor(F.col("dist_m") * 1000 + F.lit(0.5)).cast("bigint").alias("dist_mm"),
     )
 
 

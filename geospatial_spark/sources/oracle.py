@@ -246,6 +246,57 @@ def geom_stats_values() -> str:
     return f"gsm(region_id, area_fl, border_fl) AS (VALUES {', '.join(vals)})"
 
 
+# clip_convex query constants: 16-gon buffer radius and the conservative
+# bbox-prefilter margin (10 km ≈ 0.09° lat; 0.3° covers the lon stretch up
+# to |lat| 72°) — the margin expression is part of the query semantics and
+# mirrored verbatim in Spark and SQL.
+CLIP_CONVEX_RADIUS_M = 10000.0
+CLIP_CONVEX_MARGIN = 0.3
+
+
+@_functools.lru_cache(maxsize=None)
+def clip_convex_values() -> str:
+    """VALUES CTE body: (region_id, name, n_vertices, area_e12) — the
+    Sutherland–Hodgman convex clip of each region shell against the 16-gon
+    buffer of each bbox-near gazetteer point, computed by the LOCAL kernel
+    (geo.geom.clip_ring_convex over geo.geom.buffer_ring_numpy — both
+    sf-independent constant fixtures).  Pairs whose clip is empty are
+    omitted; the oracle LEFT JOIN surfaces them as NULLs, mirroring the
+    Spark UDF's NULL rows."""
+    import numpy as np
+
+    from ..geo import geom as gm
+
+    m = CLIP_CONVEX_MARGIN
+    vals = []
+    for _i, rid, _cidx, minx, miny, maxx, maxy in C.region_rows():
+        poly = gm.polygon([(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)])
+        shell = gm.parse_wkb(gm.to_wkb(poly)).parts[0][0]
+        for _gi, name, glat, glon, _pop in C.gazetteer_rows():
+            if not (
+                glat >= miny - m
+                and glat <= maxy + m
+                and glon >= minx - m
+                and glon <= maxx + m
+            ):
+                continue
+            cr = gm.buffer_ring_numpy(glat, glon, CLIP_CONVEX_RADIUS_M, 16)
+            ring = gm.clip_ring_convex(shell, cr)
+            if ring is None:
+                continue
+            area = abs(gm.ring_area_planar(ring))
+            vals.append(
+                f"('{rid}', '{name}', {len(ring) - 1}, "
+                f"{int(np.floor(area * 1e12 + 0.5))})"
+            )
+    if not vals:
+        raise RuntimeError("clip_convex_values: empty kernel map")
+    return (
+        "cm(region_id, name, n_vertices, area_e12) AS "
+        f"(VALUES {', '.join(vals)})"
+    )
+
+
 @_functools.lru_cache(maxsize=None)
 def s2_roundtrip_values_sql(level: int = 12, child_level: int = 14) -> str:
     """Pinned expected result of compact(uncompact(gaz_cells, child_level))

@@ -19,6 +19,33 @@ def _with_pages(select_sql: str) -> str:
     )
 
 
+def _with_pages_recursive(select_sql: str) -> str:
+    """Same, with RECURSIVE enabled (the keyword applies to the whole WITH
+    list in DuckDB) — used by the connected-components closure oracles."""
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join([geo_sql.gaz_cte(), geo_sql.pages_cte()])
+        + ",\n"
+        + select_sql
+    )
+
+
+def _closure_sql(edges_cte: str) -> str:
+    """Connected components over an ``edges(id_a, id_b)`` CTE as a recursive
+    transitive closure + min-label — mirrors operators.dedup.dedup_clusters
+    (min-label propagation to fixpoint) exactly: cluster = min reachable id,
+    over the nodes incident to at least one edge.  Closure size is Σ|C_i|²
+    — bounded by the near-clique dup-cluster structure at oracle scale."""
+    return f"""{edges_cte},
+und AS (SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+nodes AS (SELECT DISTINCT src AS id FROM und),
+reach AS (SELECT id, id AS r FROM nodes
+          UNION SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r),
+labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+SELECT cluster, count(*) AS size FROM labels GROUP BY 1"""
+
+
 def dedup_exact_sql() -> str:
     return _with_pages(
         "g AS (SELECT sha256(text) AS text_sha, count(*) AS n_copies, min(url) AS keeper "
@@ -359,4 +386,105 @@ SELECT count(*) AS n_buckets,
        CAST(sum(CASE WHEN c > {max_bucket} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
        max(c) AS max_bucket_size
 FROM sizes"""
+    )
+
+
+def dedup_block_stats_sql(
+    max_bucket: int = 8, prefix: int = 40, max_block: int = 16
+) -> str:
+    """Union overflow report: MinHash-LSH bucket caps + n-gram prefix-block
+    caps, one row per blocking family (mirrors dedup.lsh_bucket_stats ∪
+    dedup.ngram_block_stats)."""
+    sh = TH.word_shingles_sql("text")
+    mins = ", ".join(TH.minhash_min_aggs_sql("h"))
+    keys = ", ".join(TH.band_key_sql(b) for b in range(TH.MINHASH_BANDS))
+    bands_union = "\nUNION ALL ".join(
+        f"SELECT id, {b} AS band, bk{b} AS key FROM keys"
+        for b in range(TH.MINHASH_BANDS)
+    )
+    return _with_pages(
+        f"""shr AS (SELECT url AS id, unnest({sh}) AS s FROM pages),
+shh AS (SELECT DISTINCT id, {TH.h60_sql('s')} AS h FROM shr),
+sigs AS (SELECT id, {mins} FROM shh GROUP BY id),
+keys AS (SELECT id, {keys} FROM sigs),
+bands AS ({bands_union}),
+sizes AS (SELECT band, key, count(*) AS c FROM bands GROUP BY 1, 2),
+nblk AS (SELECT md5(substr(text, 1, {prefix})) AS blk, count(*) AS c FROM pages GROUP BY 1)
+SELECT 'lsh_minhash' AS family, count(*) AS n_buckets,
+       CAST(sum(CASE WHEN c > {max_bucket} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+       max(c) AS max_bucket_size
+FROM sizes
+UNION ALL
+SELECT 'ngram_prefix' AS family, count(*) AS n_buckets,
+       CAST(sum(CASE WHEN c > {max_block} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+       max(c) AS max_bucket_size
+FROM nblk"""
+    )
+
+
+def dedup_clusters_sql(max_hamming: int = 3) -> str:
+    """Exact oracle for the SimHash star-edge → connected-components query
+    (upgraded from rows-only, round-2 review item 3 adjacent): star edges =
+    bucket member → bucket-min (arg_min mirrors Spark's min_by over the
+    (band, key) window), hamming-filtered, then the recursive closure."""
+    bits = ", ".join(TH.simhash_bit_aggs_sql("h"))
+    bands_union = "\nUNION ALL ".join(
+        f"SELECT id, simhash, {k} AS band, "
+        f"(simhash >> {k * TH.SIMHASH_BAND_BITS}) & {(1 << TH.SIMHASH_BAND_BITS) - 1} AS key "
+        "FROM st"
+        for k in range(TH.SIMHASH_BANDS)
+    )
+    edges = f"""tok AS (SELECT DISTINCT url AS id, unnest({TH.tokens_sql('text')}) AS t FROM pages),
+tokh AS (SELECT id, {TH.h60_sql('t')} AS h FROM tok),
+bits AS (SELECT id, {bits} FROM tokh GROUP BY id),
+st AS (SELECT id, {TH.simhash_from_bits_sql()} AS simhash FROM bits),
+bands AS ({bands_union}),
+bmins AS (SELECT band, key, min(id) AS mn, arg_min(simhash, id) AS mn_sh
+          FROM bands GROUP BY 1, 2),
+edges0 AS (SELECT DISTINCT m.mn AS id_a, b.id AS id_b, m.mn_sh AS sh_a, b.simhash AS sh_b
+           FROM bands b JOIN bmins m ON m.band = b.band AND m.key = b.key AND b.id <> m.mn),
+edges AS (SELECT DISTINCT id_a, id_b FROM edges0
+          WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming})"""
+    return _with_pages_recursive(_closure_sql(edges))
+
+
+def dedup_clusters_star_sql(threshold_ppm: int = 700_000) -> str:
+    """Exact oracle for the MinHash star-edge → exact-Jaccard verify →
+    connected-components query: uncapped LSH bands, bucket-min star edges,
+    shingle-set Jaccard gate, recursive closure."""
+    sh = TH.word_shingles_sql("text")
+    mins = ", ".join(TH.minhash_min_aggs_sql("h"))
+    keys = ", ".join(TH.band_key_sql(b) for b in range(TH.MINHASH_BANDS))
+    bands_union = "\nUNION ALL ".join(
+        f"SELECT id, {b} AS band, bk{b} AS key FROM keys"
+        for b in range(TH.MINHASH_BANDS)
+    )
+    edges = f"""shr AS (SELECT url AS id, unnest({sh}) AS s FROM pages),
+shh AS (SELECT DISTINCT id, {TH.h60_sql('s')} AS h FROM shr),
+sigs AS (SELECT id, {mins} FROM shh GROUP BY id),
+keys AS (SELECT id, {keys} FROM sigs),
+bands AS ({bands_union}),
+bmins AS (SELECT band, key, min(id) AS mn FROM bands GROUP BY 1, 2),
+cand AS (SELECT DISTINCT m.mn AS id_a, b.id AS id_b
+         FROM bands b JOIN bmins m ON m.band = b.band AND m.key = b.key AND b.id <> m.mn),
+sizes AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter FROM cand c
+          JOIN shh sa ON sa.id = c.id_a JOIN shh sb ON sb.id = c.id_b AND sb.h = sa.h
+          GROUP BY 1, 2),
+edges AS (SELECT i.id_a, i.id_b FROM inter i
+          JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+          WHERE CAST(floor(1e6 * i.inter / (na.n + nb.n - i.inter)) AS BIGINT) >= {threshold_ppm})"""
+    return _with_pages_recursive(_closure_sql(edges))
+
+
+def media_frame_features_sql(frame_stride: int = 64, every: int = 16) -> str:
+    """Features + frame-sampling plan in one relation (mirrors
+    media.frame_features): video rows explode per sampled frame index,
+    image/audio rows carry a NULL frame_idx.  Spark sequence(0, n-1, s) ==
+    DuckDB range(0, n, s) element-for-element."""
+    return (
+        "SELECT media_id, kind, byte_len, n_frames, f0, f1, f2, f3, "
+        f"unnest(CASE WHEN kind = 'video' THEN range(0, n_frames, {every}) "
+        "ELSE [CAST(NULL AS BIGINT)] END) AS frame_idx "
+        f"FROM ({media_features_sql(frame_stride)})"
     )

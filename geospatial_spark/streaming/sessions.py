@@ -7,12 +7,18 @@ session while consecutive gaps stay ≤ ``gap_seconds``; a bigger gap closes
 the session.  A closed session emits immediately in the micro-batch that
 observes the gap; a session left open at the watermark emits via event-time
 state timeout (last_ts + gap).  Output row shape matches the batch
-operator: (user_id, session_seq, start_ts, n_events, cents).
+operator: (user_id, session_id, start_ts, n_events, cents), where
+``session_id`` is the whole-second epoch of the session's first event — a
+CONTENT-STABLE identity shared with the batch twin (round-2 review: the
+old per-user ordinal ``session_seq`` forced a tombstone state row per user
+to survive forever so numbering could continue; with a content-stable id
+the state is simply REMOVED at timeout).
 
 Scale notes: state is one tiny struct per ACTIVE user (open session only —
-closed sessions leave state immediately), keyed-shuffled on user_id once;
-the watermark bounds state lifetime, so a 100 TB/day feed holds state
-proportional to concurrently-active users, not history.
+closed sessions leave state immediately, timed-out sessions delete their
+state row), keyed-shuffled on user_id once; the watermark bounds state
+lifetime, so a 100 TB/day feed holds state proportional to
+concurrently-active users, not users-ever-seen.
 """
 
 from __future__ import annotations
@@ -30,28 +36,25 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
-        StructField("session_seq", LongType()),
+        StructField("session_id", LongType()),
         StructField("start_ts", StringType()),
         StructField("n_events", LongType()),
         StructField("cents", LongType()),
     ]
 )
 
-# open-session accumulator: (start_epoch, last_epoch, n_events, cents,
-# n_closed_sessions_so_far)
+# open-session accumulator: (start_epoch, last_epoch, n_events, cents)
 STATE_SCHEMA = StructType(
     [
         StructField("start_ep", LongType()),
         StructField("last_ep", LongType()),
         StructField("n_events", LongType()),
         StructField("cents", LongType()),
-        StructField("n_closed", LongType()),
     ]
 )
 
@@ -70,16 +73,12 @@ def _session_fn(gap_seconds: int):
         out: list[tuple[int, int, str, int, int]] = []
 
         if state.hasTimedOut:
-            start_ep, last_ep, n_ev, cents, n_closed = state.get
+            start_ep, last_ep, n_ev, cents = state.get
             if n_ev > 0:
-                n_closed += 1
-                out.append((user_id, n_closed, _fmt(start_ep), n_ev, cents))
-            # tombstone (no open session) rather than remove: session_seq is
-            # a per-user ordinal, so the closed-session count must survive
-            # the flush — removing state here restarted numbering at 1 and
-            # collided with already-emitted seqs.  No new timeout is set
-            # (nothing is open); the tombstone is one tiny row per user.
-            state.update((0, last_ep, 0, 0, n_closed))
+                out.append((user_id, start_ep, _fmt(start_ep), n_ev, cents))
+            # content-stable session_id → nothing must survive the flush:
+            # REMOVE the state row (state size tracks active users only)
+            state.remove()
             yield pd.DataFrame(
                 out, columns=[f.name for f in OUTPUT_SCHEMA.fields]
             )
@@ -95,15 +94,14 @@ def _session_fn(gap_seconds: int):
         cents_arr = np.floor(rows["value"].to_numpy() * 100 + 0.5).astype("int64")
 
         if state.exists:
-            start_ep, last_ep, n_ev, cents, n_closed = state.get
+            start_ep, last_ep, n_ev, cents = state.get
         else:
             start_ep = last_ep = int(eps[0])
-            n_ev, cents, n_closed = 0, 0, 0
+            n_ev, cents = 0, 0
         for ep, c in zip(eps, cents_arr):
             ep = int(ep)
             if n_ev > 0 and ep - last_ep > gap_seconds:
-                n_closed += 1
-                out.append((user_id, n_closed, _fmt(start_ep), n_ev, cents))
+                out.append((user_id, start_ep, _fmt(start_ep), n_ev, cents))
                 start_ep, n_ev, cents = ep, 0, 0
             if n_ev == 0:
                 start_ep = ep  # first event of a (new or fresh-group) session
@@ -111,7 +109,7 @@ def _session_fn(gap_seconds: int):
             cents += int(c)
             last_ep = ep
 
-        state.update((start_ep, last_ep, n_ev, cents, n_closed))
+        state.update((start_ep, last_ep, n_ev, cents))
         # event-time timeout: flush the open session when the watermark
         # passes last_ts + gap (ms for the state API).  Late data can make
         # last_ts + gap older than the already-advanced watermark — the API
@@ -134,7 +132,7 @@ def sessionize_stream(
 
     One keyed shuffle on user_id; per-group pandas state machine; output
     rows appear when a gap closes a session or the watermark times the
-    open session out."""
+    open session out (which also deletes the user's state row)."""
     return (
         stream.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
@@ -153,7 +151,9 @@ def sessionize_stream(
 def sessionize_batch_reference(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Batch twin used by the replay-equivalence test: same output columns,
     whole-second epoch gap math (matches the streaming state machine),
-    plus the session-end epoch so tests can reason about watermark flush."""
+    plus the session-end epoch so tests can reason about watermark flush.
+    ``session_id`` is the session's first whole-second epoch — identical to
+    the streaming operator's ``start_ep``."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
@@ -165,13 +165,14 @@ def sessionize_batch_reference(events: DataFrame, gap_seconds: int = 1800) -> Da
         .otherwise(0),
     )
     sess = gapped.withColumn(
-        "session_seq",
+        "__seq",
         F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     return (
-        sess.groupBy("user_id", "session_seq")
+        sess.groupBy("user_id", "__seq")
         .agg(
+            F.min(ep).alias("session_id"),
             F.date_format(
                 F.min(F.col("ts").cast("timestamp")), "yyyy-MM-dd HH:mm:ss"
             ).alias("start_ts"),
@@ -179,5 +180,5 @@ def sessionize_batch_reference(events: DataFrame, gap_seconds: int = 1800) -> Da
             F.sum(cents).alias("cents"),
             F.max(ep).alias("end_ep"),
         )
-        .select("user_id", "session_seq", "start_ts", "n_events", "cents", "end_ep")
+        .select("user_id", "session_id", "start_ts", "n_events", "cents", "end_ep")
     )
