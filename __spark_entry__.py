@@ -85,6 +85,10 @@ def _q_extract_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """refine="force" keeps the general Arrow PIP refine path oracle-
+    exercised here; pip_join_planned/pip_counts run the planner's free
+    choice (which takes the rectilinear zero-Python specialization on this
+    polygon set — both paths are parity-tested identical)."""
     return pj.pip_join(
         _points(spark, sf_dir),
         src.regions(spark),
@@ -92,6 +96,7 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         precision=4,
         strategy="broadcast",
         point_cols=("url", "entity"),
+        refine="force",
     )
 
 

@@ -41,6 +41,47 @@ def geohash_encode_udf(precision: int):
     return _enc
 
 
+def _morton_spread_col(x: Column) -> Column:
+    """Spread the low 32 bits of a BIGINT column so bit k moves to bit 2k
+    (JVM twin of geo.geohash._part1by1 — same magic-mask sequence)."""
+    for sh, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        x = (x.bitwiseOR(F.shiftleft(x, sh))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def geohash_int_col(lat: Column, lon: Column, precision: int) -> Column:
+    """Pure-JVM pointcell (N1): the geohash 5p-bit interleaved integer code
+    as a whole-stage-codegen'd Column expression — NO Python/Arrow crossing.
+
+    Bit-identical to geo.geohash's internal code (quantize + Morton
+    interleave, lon taking the extra bit at odd 5p), so it joins 1:1
+    against geo.geohash.cells_to_codes(...) of the same cells.  This keys
+    the hot side of every spatial join on BIGINT instead of a base-32
+    string: the point side stays entirely inside codegen, join hashing is
+    long-hashing, and shuffle/broadcast rows carry 8 bytes instead of a
+    p-char string (property-tested vs the numpy kernel across the globe
+    incl. the ±180/±90 clamp edges)."""
+    lon_bits, lat_bits = gh._bits(precision)
+    lon_q = F.least(
+        F.lit((1 << lon_bits) - 1),
+        F.greatest(F.lit(0), F.floor((lon + 180.0) / 360.0 * float(1 << lon_bits))),
+    ).cast("long")
+    lat_q = F.least(
+        F.lit((1 << lat_bits) - 1),
+        F.greatest(F.lit(0), F.floor((lat + 90.0) / 180.0 * float(1 << lat_bits))),
+    ).cast("long")
+    slon, slat = _morton_spread_col(lon_q), _morton_spread_col(lat_q)
+    if (5 * precision) % 2:
+        return slon.bitwiseOR(F.shiftleft(slat, 1))
+    return F.shiftleft(slon, 1).bitwiseOR(slat)
+
+
 def s2_cell_udf(level: int):
     @pandas_udf(LongType())
     def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
@@ -136,6 +177,28 @@ def geohash_polyfill_udf(precision: int, mode: str = "intersects"):
                 continue
             cells = pf.geohash_polyfill(gm.parse_wkb(bytes(buf)), precision, mode)
             out.append(list(cells))
+        return pd.Series(out)
+
+    return _fill
+
+
+def geohash_polyfill_codes_udf(precision: int, mode: str = "intersects"):
+    """polycell → BIGINT interleaved codes (the join-key form of
+    geohash_polyfill_udf — pairs with the point side's geohash_int_col so
+    large-large spatial joins shuffle 8-byte longs, not strings)."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _fill(wkb: pd.Series) -> pd.Series:
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            cells = pf.geohash_polyfill(gm.parse_wkb(bytes(buf)), precision, mode)
+            if len(cells) == 0:
+                out.append([])
+                continue
+            out.append([int(c) for c in gh.cells_to_codes(cells, precision)])
         return pd.Series(out)
 
     return _fill

@@ -126,6 +126,17 @@ def decode(cells, precision: int) -> tuple[np.ndarray, np.ndarray]:
     return (min_lat + max_lat) / 2.0, (min_lon + max_lon) / 2.0
 
 
+def cells_to_codes(cells, precision: int) -> np.ndarray:
+    """Geohash strings → 5p-bit interleaved integer codes (int64).
+
+    The code is the same bit pattern the base-32 string encodes, so
+    (string cell == string cell) ⇔ (code == code) at a fixed precision —
+    used by the join operators to key on BIGINT instead of strings
+    (JVM-side hashing + shuffle bytes; see udfs.geohash_int_col)."""
+    lon_q, lat_q = decode_int(np.atleast_1d(cells), precision)
+    return _code(lon_q, lat_q, precision).astype(np.int64)
+
+
 def encode_from_int(lon_q: np.ndarray, lat_q: np.ndarray, precision: int) -> np.ndarray:
     code = _code(lon_q.astype(np.uint64), lat_q.astype(np.uint64), precision)
     n = code.shape[0]

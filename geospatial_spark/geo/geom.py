@@ -241,6 +241,87 @@ def segments_intersect(p1, p2, q1, q2) -> bool:
     return False
 
 
+def polygon_is_rect(geom: Geometry) -> bool:
+    """True iff the geometry is exactly its own axis-aligned bbox: one part,
+    one ring (no holes), whose distinct vertices are precisely the 4 bbox
+    corners.  For such polygons the even-odd ray cast of points_in_polygon
+    reduces ALGEBRAICALLY to the half-open box test
+    ``minx <= lon < maxx AND miny <= lat < maxy`` (vertical edges intersect
+    the horizontal ray at exactly x0 in IEEE arithmetic, horizontal edges
+    never satisfy (y0>lat)!=(y1>lat)), so a PIP refine can be skipped with
+    bit-identical results — including every on-edge tie."""
+    if len(geom.parts) != 1 or len(geom.parts[0]) != 1:
+        return False
+    ring = geom.parts[0][0]
+    pts = {(float(x), float(y)) for x, y in ring}
+    if len(pts) != 4:
+        return False
+    xs = {p[0] for p in pts}
+    ys = {p[1] for p in pts}
+    if len(xs) != 2 or len(ys) != 2:
+        return False
+    x0, x1 = sorted(xs)
+    y0, y1 = sorted(ys)
+    if pts != {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}:
+        return False
+    # every edge must be axis-aligned (rules out the self-intersecting
+    # "bowtie" traversal of the same 4 corners, whose even-odd interior is
+    # NOT the box)
+    for k in range(len(ring) - 1):
+        dx = ring[k + 1, 0] - ring[k, 0]
+        dy = ring[k + 1, 1] - ring[k, 1]
+        if dx != 0.0 and dy != 0.0:
+            return False
+    return True
+
+
+def rect_fully_inside_polygon(minx, miny, maxx, maxy, geom: Geometry) -> bool:
+    """Exact, conservatively-false test that the closed rectangle lies
+    entirely inside the polygon (even-odd semantics, holes honored).
+
+    True ⇒ every point of the rect is inside, so a PIP refine over points
+    in this rect is guaranteed True and can be skipped (the interior-cell
+    optimization of the filter/refine join — reference R-tree prefilter,
+    gutils.py:511-517, done at the covering-cell level).  Any boundary
+    contact (vertex in rect, edge crossing or touching a rect edge) returns
+    False and falls back to the exact refine."""
+    corners_lon = np.array([minx, maxx, maxx, minx])
+    corners_lat = np.array([miny, miny, maxy, maxy])
+    if not points_in_polygon(corners_lon, corners_lat, geom).all():
+        return False
+    for part in geom.parts:
+        for ring in part:
+            m = (
+                (ring[:, 0] >= minx)
+                & (ring[:, 0] <= maxx)
+                & (ring[:, 1] >= miny)
+                & (ring[:, 1] <= maxy)
+            )
+            if m.any():
+                return False
+    rect = [
+        ((minx, miny), (maxx, miny)),
+        ((maxx, miny), (maxx, maxy)),
+        ((maxx, maxy), (minx, maxy)),
+        ((minx, maxy), (minx, miny)),
+    ]
+    for part in geom.parts:
+        for ring in part:
+            # prune edges whose bbox misses the rect before the exact test
+            ex0 = np.minimum(ring[:-1, 0], ring[1:, 0])
+            ex1 = np.maximum(ring[:-1, 0], ring[1:, 0])
+            ey0 = np.minimum(ring[:-1, 1], ring[1:, 1])
+            ey1 = np.maximum(ring[:-1, 1], ring[1:, 1])
+            cand = (ex1 >= minx) & (ex0 <= maxx) & (ey1 >= miny) & (ey0 <= maxy)
+            for k in np.nonzero(cand)[0]:
+                p1 = (ring[k, 0], ring[k, 1])
+                p2 = (ring[k + 1, 0], ring[k + 1, 1])
+                for q1, q2 in rect:
+                    if segments_intersect(p1, p2, q1, q2):
+                        return False
+    return True
+
+
 def rect_intersects_polygon(minx, miny, maxx, maxy, geom: Geometry) -> bool:
     """Exact rectangle-polygon ST_Intersects (filter/refine support)."""
     gminx, gminy, gmaxx, gmaxy = bbox(geom)

@@ -40,12 +40,18 @@ def polygon_cells(
     precision: int,
     geometry: str = "geometry",
     keep_geometry: bool = False,
+    codes: bool = False,
 ) -> DataFrame:
     """polycell (G1): polygon side → exploded (cell, poly_id) relation.
 
     ``keep_geometry`` carries the WKB through the explode so the shuffle
-    join can refine without any driver-side geometry collect."""
-    fill = udfs.geohash_polyfill_udf(precision, mode="intersects")
+    join can refine without any driver-side geometry collect.  ``codes``
+    emits the BIGINT interleaved cell code instead of the base-32 string
+    (the join-key form — 8-byte shuffle keys, long-hashing)."""
+    if codes:
+        fill = udfs.geohash_polyfill_codes_udf(precision, mode="intersects")
+    else:
+        fill = udfs.geohash_polyfill_udf(precision, mode="intersects")
     cols = [F.col(poly_id), F.explode("__cells").alias("cell")]
     if keep_geometry:
         cols.append(F.col(geometry).alias("__geom"))
@@ -69,14 +75,24 @@ def pip_join(
     salt: int = 8,
     heavy_cell_rows: int = 100_000,
     point_cols: tuple[str, ...] | None = None,
+    refine: str = "auto",
 ) -> DataFrame:
     """Inner PIP join: rows of points_df × matching poly_id.
 
     Output: point columns + poly_id.
-    """
+
+    ``refine="auto"`` (broadcast strategy): when EVERY polygon is exactly
+    its own bbox (geom.polygon_is_rect), the even-odd PIP refine reduces
+    algebraically to the half-open box test — the filter stays entirely in
+    JVM codegen with zero Python crossings, bit-identical results incl.
+    on-edge ties (proof in polygon_is_rect's docstring; parity-tested
+    against the kernel path in tests/test_skew_join.py).  Rectilinear
+    polygon sets are common at scale (admin bboxes, tile footprints), and
+    the planner-free specialization mirrors what Catalyst does for
+    constant-foldable expressions.  ``refine="force"`` always runs the
+    exact kernel refine (the general path; used by the driver's `pip_join`
+    query so the Arrow refine stays oracle-exercised)."""
     out_cols = list(point_cols) if point_cols else [c for c in points_df.columns]
-    enc = udfs.geohash_encode_udf(precision)
-    pts = points_df.withColumn("__cell", enc(F.col(lat), F.col(lon)))
 
     if strategy == "broadcast":
         # small polygon side by contract: the (cell, poly) index is built
@@ -85,34 +101,87 @@ def pip_join(
         # geometries ship once per executor in the refine UDF's closure.
         # Building locally avoids a 1-task Spark job (polyfill UDF over the
         # tiny polygon table) inside every action's broadcast build.
+        #
+        # The probe (point) side never leaves JVM codegen until the refine:
+        # its cell is the BIGINT interleaved code (geohash_int_col), the
+        # broadcast rows carry an int polygon index + the polygon bbox +
+        # a per-cell "fully inside" flag, so
+        #   * bbox reject happens as a plain JVM conjunct (the reference's
+        #     R-tree bbox prefilter, gutils.py:511),
+        #   * candidates in interior cells skip the PIP kernel entirely
+        #     (rect_fully_inside_polygon — exact, conservatively false),
+        #   * only boundary-cell candidates reach Arrow, carrying one int
+        #     key instead of the poly-id string.
+        from ..geo import geohash as gh
         from ..geo import geom as gm
         from ..geo import polyfill as pf
 
         rows = polys_df.select(poly_id, geometry).collect()
-        geoms = {r[poly_id]: bytes(r[geometry]) for r in rows}
+        geoms = {i: bytes(r[geometry]) for i, r in enumerate(rows)}
         spark = polys_df.sparkSession
-        cell_rows = [
-            (r[poly_id], str(c))
-            for r in rows
-            for c in pf.geohash_polyfill(
-                gm.parse_wkb(bytes(r[geometry])), precision, "intersects"
-            )
-        ]
+        cell_rows = []
+        all_rect = refine != "force"
+        for i, r in enumerate(rows):
+            g = gm.parse_wkb(bytes(r[geometry]))
+            all_rect = all_rect and gm.polygon_is_rect(g)
+            gminx, gminy, gmaxx, gmaxy = gm.bbox(g)
+            cells = pf.geohash_polyfill(g, precision, "intersects")
+            if len(cells) == 0:
+                continue
+            codes = gh.cells_to_codes(cells, precision)
+            bx0, by0, bx1, by1 = gh.cell_bbox(cells, precision)
+            for c, x0, y0, x1, y1 in zip(codes, bx0, by0, bx1, by1):
+                full = gm.rect_fully_inside_polygon(x0, y0, x1, y1, g)
+                cell_rows.append(
+                    (int(c), i, r[poly_id], bool(full), gminx, gminy, gmaxx, gmaxy)
+                )
         id_type = polys_df.schema[poly_id].dataType.simpleString()
         cells = spark.createDataFrame(
-            cell_rows, f"`{poly_id}` {id_type}, cell string"
+            cell_rows,
+            f"cellc bigint, __pidx int, `{poly_id}` {id_type}, __full boolean, "
+            "__bx0 double, __by0 double, __bx1 double, __by1 double",
         )
-        refine = udfs.pip_refine_udf(geoms)
-        cand = pts.join(F.broadcast(cells), pts["__cell"] == cells["cell"], "inner")
-        refined = cand.filter(refine(F.col(poly_id), F.col(lon), F.col(lat)))
+        pts = points_df.withColumn(
+            "__cellc", udfs.geohash_int_col(F.col(lat), F.col(lon), precision)
+        )
+        cand = pts.join(F.broadcast(cells), pts["__cellc"] == cells["cellc"], "inner")
+        if all_rect:
+            # rectilinear specialization: PIP ≡ half-open box test (see
+            # docstring) — no Python anywhere in the join
+            refined = cand.filter(
+                (F.col(lon) >= F.col("__bx0"))
+                & (F.col(lon) < F.col("__bx1"))
+                & (F.col(lat) >= F.col("__by0"))
+                & (F.col(lat) < F.col("__by1"))
+            )
+        else:
+            refine_udf = udfs.pip_refine_udf(geoms)
+            bbox_ok = (
+                (F.col(lon) >= F.col("__bx0"))
+                & (F.col(lon) <= F.col("__bx1"))
+                & (F.col(lat) >= F.col("__by0"))
+                & (F.col(lat) <= F.col("__by1"))
+            )
+            refined = cand.filter(
+                bbox_ok
+                & F.when(F.col("__full"), F.lit(True)).otherwise(
+                    refine_udf(F.col("__pidx"), F.col(lon), F.col(lat))
+                )
+            )
     else:
+        # probe side stays in JVM codegen: BIGINT cell code, no Arrow hop
+        pts = points_df.withColumn(
+            "__cell", udfs.geohash_int_col(F.col(lat), F.col(lon), precision)
+        )
         # large-large: NO driver-side geometry collect — the WKB rides the
         # exploded (cell, poly, geom) relation through the shuffle and the
         # refine UDF memoizes parses per executor.  Explicit skew salting
         # (N5): heavy point cells replicate the polygon side `salt` ways.
         from pyspark import StorageLevel
 
-        cells = polygon_cells(polys_df, poly_id, precision, geometry, keep_geometry=True)
+        cells = polygon_cells(
+            polys_df, poly_id, precision, geometry, keep_geometry=True, codes=True
+        )
         # the point side feeds the heavy-cell histogram AND the probe join —
         # persist so extraction/encode lineage runs once (at 100 TB this is
         # a disk-backed materialization, the standard two-pass skew pattern);

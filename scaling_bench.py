@@ -133,12 +133,17 @@ def main() -> None:
     ap.add_argument("--replication", type=int, default=512)
     ap.add_argument(
         "--workload",
-        choices=("pipeline", "cellmath"),
+        choices=("pipeline", "pipeline-mat", "cellmath"),
         default="pipeline",
-        help="pipeline = flagship extract/join/tile (memory-bandwidth-bound "
-        "on this host); cellmath = pure JVM cell/trig math over pre-written "
-        "numeric parquet (compute-bound — isolates CPU scaling from the "
-        "host's virtualized memory-bandwidth ceiling)",
+        help="pipeline = flagship extract/join/tile with the synthetic page "
+        "generator inside the timed lineage (memory-bandwidth-bound on this "
+        "host); pipeline-mat = same extract/join/tile but reading a "
+        "PRE-MATERIALIZED pages parquet table — the production shape of the "
+        "north rule (the job reads an Iceberg table; it does not synthesize "
+        "its input), so the measured work is scan+regex+join+agg; cellmath "
+        "= pure JVM cell/trig math over numeric parquet (compute-bound "
+        "control — isolates CPU scaling from the host's virtualized "
+        "memory-bandwidth ceiling)",
     )
     ap.add_argument("--rows", type=int, default=40_000_000,
                     help="cellmath workload row count")
@@ -167,8 +172,28 @@ def main() -> None:
         spark.stop()
         return
 
+    mat_path = None
+    if args.workload == "pipeline-mat":
+        # one-time materialization of the derived pages table (url, warc_ts,
+        # html, text, lang) — the timed job then READS it, which is the
+        # north-rule production shape (the input is an Iceberg table of web
+        # pages, not an in-lineage generator).  Written once at a fixed path
+        # per (sf, replication) and reused by every core-count config so
+        # both configs scan identical bytes.
+        import os
+
+        tag = args.sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        mat_path = f"/tmp/scaling_pages_{tag}_r{args.replication}.parquet"
+        if not os.path.isdir(mat_path):
+            src.pages(spark, args.sf_dir, replication=args.replication).repartition(
+                256
+            ).write.mode("overwrite").parquet(mat_path)
+
     def pipeline(replication: int):
-        pages = src.pages(spark, args.sf_dir, replication=replication)
+        if mat_path is not None and replication == args.replication:
+            pages = spark.read.parquet(mat_path)
+        else:
+            pages = src.pages(spark, args.sf_dir, replication=replication)
         points = src.extract_points(pages, src.gazetteer(spark))
         joined = pj.pip_join(
             points,

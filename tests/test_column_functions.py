@@ -63,3 +63,61 @@ def test_tile_golden(spark):
         udfs.tile_y_col(F.col("lat"), 12).alias("y"),
     ).collect()[0]
     assert (r["x"], r["y"]) == (2074, 1409)
+
+
+def test_geohash_int_col_matches_kernel(spark):
+    """The JVM pointcell code (geohash_int_col) must equal the numpy
+    kernel's interleaved code for the same coords at every precision used
+    by the joins — incl. the ±180/±90 clamp edges and cell-boundary
+    coordinates."""
+    import numpy as np
+
+    from geospatial_spark.geo import geohash as gh
+    from geospatial_spark.sources.constants import LCG_A, LCG_C, LCG_M
+
+    rng = [(float(lat), float(lon)) for lat, lon in [
+        (0.0, 0.0), (90.0, 180.0), (-90.0, -180.0), (89.999999, 179.999999),
+        (-89.999999, -179.999999), (48.8584, 2.2945), (51.5074, -0.1278),
+        (-33.8688, 151.2093), (0.17578125, 0.3515625),  # exact p4 cell corner
+        (45.0, 45.0), (-0.0000001, -0.0000001),
+    ]]
+    # + deterministic pseudo-random sweep (LCG so no random() in tests)
+    x = 12345
+    for _ in range(200):
+        x = (x * LCG_A + LCG_C) % LCG_M
+        lat = (x / LCG_M) * 180.0 - 90.0
+        x = (x * LCG_A + LCG_C) % LCG_M
+        lon = (x / LCG_M) * 360.0 - 180.0
+        rng.append((lat, lon))
+
+    df = spark.createDataFrame(rng, "lat double, lon double")
+    for p in (2, 4, 5, 7):
+        got = [
+            r["c"]
+            for r in df.select(
+                udfs.geohash_int_col(F.col("lat"), F.col("lon"), p).alias("c")
+            ).collect()
+        ]
+        lats = np.array([t[0] for t in rng])
+        lons = np.array([t[1] for t in rng])
+        want = gh.cells_to_codes(gh.encode(lats, lons, p), p)
+        assert got == [int(w) for w in want], f"precision {p}"
+
+
+def test_rect_fully_inside_polygon():
+    from geospatial_spark.geo import geom as gm
+
+    poly = gm.polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    assert gm.rect_fully_inside_polygon(2, 2, 8, 8, poly)
+    assert not gm.rect_fully_inside_polygon(-1, 2, 8, 8, poly)   # corner out
+    assert not gm.rect_fully_inside_polygon(0, 0, 10, 10, poly)  # touches edges
+    assert not gm.rect_fully_inside_polygon(2, 2, 10.5, 8, poly)  # crosses
+    # hole strictly inside the candidate rect -> not full
+    holed = gm.polygon(
+        [(0, 0), (10, 0), (10, 10), (0, 10)], holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]]
+    )
+    assert not gm.rect_fully_inside_polygon(2, 2, 8, 8, holed)
+    # rect clear of the hole -> full
+    assert gm.rect_fully_inside_polygon(1, 1, 3, 3, holed)
+    # hole edge crossing the rect -> not full
+    assert not gm.rect_fully_inside_polygon(2, 2, 5, 5, holed)

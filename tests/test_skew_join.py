@@ -43,3 +43,48 @@ def test_salted_shuffle_matches_broadcast_under_skew(spark):
     got_sh = sorted(map(key, sh.collect()))
     assert got_bc == got_sh
     assert len(got_bc) >= 20_000  # the skewed cell sits inside region_44+ boxes
+
+
+def test_rect_fast_path_matches_kernel_refine(spark):
+    """The rectilinear zero-Python specialization (refine="auto" over a
+    bbox-exact polygon set) must agree row-for-row with the general Arrow
+    PIP refine (refine="force") — including points that land exactly on
+    region edges (the half-open tie semantics)."""
+    pts = _skewed_points(spark)
+    regions = src.regions(spark)
+    # add points exactly ON region bbox edges to pin the tie behavior
+    edges = regions.select(
+        F.concat(F.lit("e"), F.col("region_idx").cast("string")).alias("url"),
+        F.lit("edge").alias("entity"),
+        F.col("miny").alias("lat"),
+        F.col("minx").alias("lon"),
+    ).unionByName(
+        regions.select(
+            F.concat(F.lit("E"), F.col("region_idx").cast("string")).alias("url"),
+            F.lit("edge").alias("entity"),
+            F.col("maxy").alias("lat"),
+            F.col("maxx").alias("lon"),
+        )
+    )
+    pts = pts.unionByName(edges)
+    kw = dict(poly_id="region_id", precision=4, strategy="broadcast",
+              point_cols=("url", "entity", "lat", "lon"))
+    fast = pj.pip_join(pts, regions, **kw).orderBy("url", "region_id").collect()
+    slow = pj.pip_join(pts, regions, refine="force", **kw).orderBy(
+        "url", "region_id"
+    ).collect()
+    assert fast == slow
+    assert len(fast) > 0
+
+
+def test_polygon_is_rect_detection():
+    from geospatial_spark.geo import geom as gm
+
+    assert gm.polygon_is_rect(gm.polygon([(0, 0), (2, 0), (2, 1), (0, 1)]))
+    # bowtie traversal of the same corners is NOT a rect
+    assert not gm.polygon_is_rect(gm.polygon([(0, 0), (2, 1), (2, 0), (0, 1)]))
+    # triangle / pentagon / holed rect are not
+    assert not gm.polygon_is_rect(gm.polygon([(0, 0), (2, 0), (1, 1)]))
+    assert not gm.polygon_is_rect(
+        gm.polygon([(0, 0), (2, 0), (2, 1), (0, 1)], holes=[[(0.5, 0.2), (1, 0.2), (1, 0.8), (0.5, 0.8)]])
+    )
