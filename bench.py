@@ -62,6 +62,21 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     try:
         E.entry(spark).count()
+        # the flagship join is zero-Python since round 3, so entry() no
+        # longer spins up the Arrow/pandas worker pool — warm it explicitly
+        # at full task width (one UDF task per core), else the first
+        # UDF-bearing timed query pays ~25-30 s of worker startup
+        from pyspark.sql import functions as _F
+
+        from geospatial_spark.functions import udfs as _udfs
+
+        _enc = _udfs.geohash_encode_udf(4)
+        spark.range(64 * cpus).repartition(2 * cpus).select(
+            _enc(
+                (_F.col("id") % 180 - 90).cast("double"),
+                (_F.col("id") % 360 - 180).cast("double"),
+            )
+        ).count()
         # touch the TARGET-sf base tables so the OS page cache and parquet
         # footers are warm before the first timed query (production reruns
         # always see warm file caches; without this the first query pays a

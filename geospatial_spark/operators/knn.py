@@ -47,41 +47,50 @@ def knn_join_broadcast(
     names, nlat, nlon = names[order], nlat[order], nlon[order]
     kk = min(k, len(names))
 
-    schema = ArrayType(
-        StructType(
-            [
-                StructField("neighbor_name", StringType()),
-                StructField("rank", IntegerType()),
-                StructField("dist_m", DoubleType()),
-            ]
-        )
+    # one struct of two rank-ordered arrays per point, built fully
+    # vectorized (argpartition → per-row lexsort; no per-row Python); the
+    # (name, rank, dist) explode happens JVM-side via posexplode over
+    # arrays_zip, so the point's other columns never cross Arrow
+    schema = StructType(
+        [
+            StructField("names", ArrayType(StringType())),
+            StructField("dists", ArrayType(DoubleType())),
+        ]
     )
 
     @pandas_udf(schema)
-    def _topk(plat: pd.Series, plon: pd.Series) -> pd.Series:
+    def _topk(plat: pd.Series, plon: pd.Series) -> pd.DataFrame:
         la = plat.to_numpy()[:, None]
         lo = plon.to_numpy()[:, None]
         d = dist.haversine(la, lo, nlat[None, :], nlon[None, :])  # (n, m)
-        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-        out = []
-        for row_d, row_i in zip(d, part):
-            cand = sorted(zip(row_d[row_i], names[row_i]))  # (dist, name) tie-break
-            out.append(
-                [
-                    {"neighbor_name": nm, "rank": r + 1, "dist_m": float(dv)}
-                    for r, (dv, nm) in enumerate(cand)
-                ]
-            )
-        return pd.Series(out)
+        part = (
+            np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            if kk < d.shape[1]
+            else np.broadcast_to(np.arange(kk), (d.shape[0], kk))
+        )
+        d_part = np.take_along_axis(d, part, axis=1)
+        name_part = names[part]
+        ord_ = np.lexsort((name_part, d_part), axis=1)  # (dist, name) tie-break
+        top_d = np.take_along_axis(d_part, ord_, axis=1)
+        top_n = np.take_along_axis(name_part, ord_, axis=1)
+        return pd.DataFrame(
+            {"names": list(top_n), "dists": list(top_d)}
+        )
 
+    zipped = F.arrays_zip(
+        F.col("__s.names").alias("names"), F.col("__s.dists").alias("dists")
+    )
     return (
-        points_df.withColumn("__knn", _topk(F.col(lat), F.col(lon)))
-        .withColumn("__e", F.explode("__knn"))
+        points_df.withColumn("__s", _topk(F.col(lat), F.col(lon)))
         .select(
             *[c for c in points_df.columns],
-            F.col("__e.neighbor_name").alias("neighbor_name"),
-            F.col("__e.rank").alias("rank"),
-            F.col("__e.dist_m").alias("dist_m"),
+            F.posexplode(zipped).alias("__pos", "__e"),
+        )
+        .select(
+            *[c for c in points_df.columns],
+            F.col("__e.names").alias("neighbor_name"),
+            (F.col("__pos") + 1).cast("int").alias("rank"),
+            F.col("__e.dists").alias("dist_m"),
         )
     )
 
@@ -105,18 +114,59 @@ def knn_join_cellring(
     exploded ring set), then window-rank.  Points whose k-th neighbor is
     farther than max_ring cells return fewer/approximate rows — callers pick
     precision/max_ring from neighbor density (plans.planner).
+
+    Everything up to the exact haversine re-rank is pure JVM column math
+    (round 3): both sides quantize to the geohash integer grid
+    (floor-quantize identical to geo.geohash.quantize), the ring is an
+    explode over the literal (di, dj) offset array with longitude wrap
+    (pmod) and latitude cut at the poles, and the equi-join keys on the
+    BIGINT grid id qx*NJ+qy — zero Python crossings, 8-byte join keys.
+    Ring membership is exactly the kernel's neighbors_ring set (Chebyshev
+    ≤ max_ring, lon circular NI>2·ring+1, lat rows outside [0, NJ) dropped
+    — the kernel clamps instead, which can only re-emit cells already in
+    the ring, so the joined PAIR set is identical and duplicate-free).
     """
-    ring_udf = udfs.geohash_neighbors_udf(precision, ring=max_ring)
-    enc = udfs.geohash_encode_udf(precision)
-    pts = points_df.withColumn("__cell", enc(F.col(lat), F.col(lon)))
-    pts = pts.withColumn("__ring", ring_udf(F.col("__cell")))
-    pts = pts.withColumn("__probe", F.explode("__ring")).drop("__ring", "__cell")
+    from ..geo import geohash as gh
+
+    lon_bits, lat_bits = gh._bits(precision)
+    NI, NJ = 1 << lon_bits, 1 << lat_bits
+    if NI <= 2 * max_ring + 1:
+        raise ValueError("ring wider than the longitude grid: raise precision")
+
+    def _q(col, off: float, span: float, n: int):
+        return F.least(
+            F.lit(n - 1),
+            F.greatest(F.lit(0), F.floor((col + off) / span * float(n))),
+        ).cast("long")
+
+    offs = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in range(-max_ring, max_ring + 1)
+            for dj in range(-max_ring, max_ring + 1)
+        ]
+    )
+    pts = (
+        points_df.withColumn("__qx", _q(F.col(lon), 180.0, 360.0, NI))
+        .withColumn("__qy", _q(F.col(lat), 90.0, 180.0, NJ))
+        .withColumn("__o", F.explode(offs))
+        .withColumn("__nqy", F.col("__qy") + F.col("__o.dj"))
+        .filter((F.col("__nqy") >= 0) & (F.col("__nqy") < NJ))
+        .withColumn(
+            "__probe",
+            F.pmod(F.col("__qx") + F.col("__o.di"), F.lit(NI)) * NJ + F.col("__nqy"),
+        )
+        .drop("__o", "__qx", "__qy", "__nqy")
+    )
 
     nb = neighbors_df.select(
         F.col(name).alias("neighbor_name"),
         F.col(n_lat).alias("__nlat"),
         F.col(n_lon).alias("__nlon"),
-    ).withColumn("__probe", enc(F.col("__nlat"), F.col("__nlon")))
+    ).withColumn(
+        "__probe",
+        _q(F.col("__nlon"), 180.0, 360.0, NI) * NJ + _q(F.col("__nlat"), 90.0, 180.0, NJ),
+    )
 
     cand = pts.join(nb, "__probe", "inner").drop("__probe")
     # a neighbor can match via several ring cells? no — each neighbor has ONE

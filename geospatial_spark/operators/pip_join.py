@@ -116,22 +116,40 @@ def pip_join(
         from ..geo import geom as gm
         from ..geo import polyfill as pf
 
+        import numpy as np
+
         rows = polys_df.select(poly_id, geometry).collect()
         geoms = {i: bytes(r[geometry]) for i, r in enumerate(rows)}
         spark = polys_df.sparkSession
+        parsed = [gm.parse_wkb(bytes(r[geometry])) for r in rows]
+        is_rect = [gm.polygon_is_rect(g) for g in parsed]
+        all_rect = refine != "force" and all(is_rect)
         cell_rows = []
-        all_rect = refine != "force"
-        for i, r in enumerate(rows):
-            g = gm.parse_wkb(bytes(r[geometry]))
-            all_rect = all_rect and gm.polygon_is_rect(g)
+        for i, (r, g) in enumerate(zip(rows, parsed)):
             gminx, gminy, gmaxx, gmaxy = gm.bbox(g)
             cells = pf.geohash_polyfill(g, precision, "intersects")
             if len(cells) == 0:
                 continue
             codes = gh.cells_to_codes(cells, precision)
             bx0, by0, bx1, by1 = gh.cell_bbox(cells, precision)
-            for c, x0, y0, x1, y1 in zip(codes, bx0, by0, bx1, by1):
-                full = gm.rect_fully_inside_polygon(x0, y0, x1, y1, g)
+            if all_rect:
+                # fast path never consults __full — skip the per-cell test
+                fulls = np.zeros(len(codes), dtype=bool)
+            elif is_rect[i]:
+                # rect polygon ≡ half-open box [gminx,gmaxx)×[gminy,gmaxy):
+                # a cell is fully inside iff it stays strictly left/below
+                # the open max edges (exact, vectorized)
+                fulls = (bx0 >= gminx) & (bx1 < gmaxx) & (by0 >= gminy) & (by1 < gmaxy)
+            else:
+                fulls = np.fromiter(
+                    (
+                        gm.rect_fully_inside_polygon(x0, y0, x1, y1, g)
+                        for x0, y0, x1, y1 in zip(bx0, by0, bx1, by1)
+                    ),
+                    dtype=bool,
+                    count=len(codes),
+                )
+            for c, full in zip(codes, fulls):
                 cell_rows.append(
                     (int(c), i, r[poly_id], bool(full), gminx, gminy, gmaxx, gmaxy)
                 )
