@@ -93,3 +93,36 @@ def test_events_filter_pushdown(spark):
     p = _plan(q)
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert pushed and any("event_type" in l for l in pushed)
+
+
+def test_broadcast_pip_join_rect_fast_path_has_no_python(spark):
+    """Round-3 rectilinear specialization: over a bbox-exact polygon set the
+    whole broadcast join (JVM pointcell code + half-open box refine) must
+    contain NO Python/Arrow eval node; the refine='force' escape hatch must
+    keep exactly one ArrowEvalPython (the kernel refine)."""
+    pts = src.extract_points(src.pages(spark, SF), src.gazetteer(spark))
+    kw = dict(poly_id="region_id", precision=4, strategy="broadcast",
+              point_cols=("url", "entity"))
+    auto = _plan(pj.pip_join(pts, src.regions(spark), **kw))
+    assert "ArrowEvalPython" not in auto and "BatchEvalPython" not in auto
+    assert _keyed_shuffles(auto) == 0
+    forced = _plan(pj.pip_join(pts, src.regions(spark), refine="force", **kw))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", forced)) == 1
+
+
+def test_knn_cellring_has_no_python_before_rerank(spark):
+    """Round-3 int-grid kNN: quantize + ring explode + equi-join + haversine
+    re-rank are all JVM — no Python eval node anywhere in the plan."""
+    from geospatial_spark.operators import knn as knn_ops
+
+    pts = src.extract_points(src.pages(spark, SF), src.gazetteer(spark))
+    out = knn_ops.knn_join_cellring(
+        pts.select("url", "entity", "lat", "lon"),
+        src.gazetteer(spark).select("name", "lat", "lon"),
+        k=5, precision=2, max_ring=3,
+    )
+    p = _plan(out)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # exactly one keyed exchange feeds the window re-rank partitioning; the
+    # candidate equi-join must be broadcast (neighbor side tiny)
+    assert "BroadcastHashJoin" in p
