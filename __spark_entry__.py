@@ -682,6 +682,11 @@ def _q_dedup_exact(spark, sf_dir):
 # 16-replica clusters would otherwise emit ~C(16,2) per bucket per band).
 # The DuckDB oracle mirrors the cap exactly (row_number over id).
 DEDUP_MAX_BUCKET = 8
+# n-gram prefix-block cap == the fixture replica count, so sandbox output is
+# uncapped while the mechanism is exercised; shared by the dedup query, the
+# overflow report, and both oracles (desync would make dedup_block_stats
+# report n_over_cap against a cap the dedup query does not enforce)
+NGRAM_MAX_BLOCK = 16
 
 
 def _q_dedup_minhash(spark, sf_dir):
@@ -693,9 +698,7 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_dedup_ngram(spark, sf_dir):
-    # max_block=16 == the fixture's replica count, so sandbox output is
-    # unchanged while the boilerplate-block O(m^2) guard is exercised
-    return dd.dedup_ngram(src.pages(spark, sf_dir), max_block=16)
+    return dd.dedup_ngram(src.pages(spark, sf_dir), max_block=NGRAM_MAX_BLOCK)
 
 
 def _q_dedup_embed(spark, sf_dir):
@@ -807,7 +810,7 @@ def _q_dedup_block_stats(spark, sf_dir):
     lsh = dd.lsh_bucket_stats(sigs, max_bucket=DEDUP_MAX_BUCKET).select(
         F.lit("lsh_minhash").alias("family"), "n_buckets", "n_over_cap", "max_bucket_size"
     )
-    ngr = dd.ngram_block_stats(pages, max_block=16).select(
+    ngr = dd.ngram_block_stats(pages, max_block=NGRAM_MAX_BLOCK).select(
         F.lit("ngram_prefix").alias("family"), "n_buckets", "n_over_cap", "max_bucket_size"
     )
     return lsh.unionByName(ngr)
@@ -1252,7 +1255,7 @@ FROM (SELECT unnest(range(0, 4)) AS p) g LEFT JOIN cnt c ON c.partition_id = g.p
         "dedup_exact": otxt.dedup_exact_sql(),
         "dedup_minhash": otxt.dedup_minhash_sql(max_bucket=DEDUP_MAX_BUCKET),
         "dedup_simhash": otxt.dedup_simhash_sql(max_bucket=DEDUP_MAX_BUCKET),
-        "dedup_ngram": otxt.dedup_ngram_sql(max_block=16),
+        "dedup_ngram": otxt.dedup_ngram_sql(max_block=NGRAM_MAX_BLOCK),
         "dedup_embed": otxt.dedup_embed_sql(),
         "ann_topk": otxt.ann_topk_sql(),
         "ann_lsh": otxt.ann_lsh_topk_sql(),
@@ -1261,7 +1264,7 @@ FROM (SELECT unnest(range(0, 4)) AS p) g LEFT JOIN cnt c ON c.partition_id = g.p
         "text_quality": otxt.text_quality_sql(),
         "doc_fingerprint": otxt.doc_fingerprint_sql(),
         "dedup_block_stats": otxt.dedup_block_stats_sql(
-            max_bucket=DEDUP_MAX_BUCKET, max_block=16
+            max_bucket=DEDUP_MAX_BUCKET, max_block=NGRAM_MAX_BLOCK
         ),
         "contamination": otxt.contamination_sql(),
         "corpus_curate": G(

@@ -259,15 +259,30 @@ def pip_refine_udf(geoms_by_key: dict[object, bytes]):
 
     The dict ships inside the UDF closure (cloudpickle → executors once);
     WKB is parsed lazily per executor and cached.
+
+    ``full`` marks candidates whose covering cell is fully inside the
+    polygon (rect_fully_inside_polygon, exact): those are True without
+    running the kernel.  The mask lives INSIDE the UDF because Spark
+    extracts Python UDFs into an ArrowEvalPython node below the Filter —
+    a ``when(full, ...)`` around the call would still evaluate the kernel
+    for every row, while this skips the ring math for the ~80 % interior
+    share and only pays the Arrow transfer.
     """
     cache: dict[object, gm.Geometry] = {}
 
     @pandas_udf(BooleanType())
-    def _pip(key: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-        lon_np = lon.to_numpy()
-        lat_np = lat.to_numpy()
-        out = np.zeros(len(key), dtype=bool)
-        keys = key.to_numpy(dtype=object)
+    def _pip(
+        key: pd.Series, lon: pd.Series, lat: pd.Series, full: pd.Series
+    ) -> pd.Series:
+        fullm = full.to_numpy(dtype=bool)
+        out = fullm.copy()
+        todo = ~fullm
+        if not todo.any():
+            return pd.Series(out)
+        lon_np = lon.to_numpy()[todo]
+        lat_np = lat.to_numpy()[todo]
+        keys = key.to_numpy(dtype=object)[todo]
+        sub = np.zeros(len(keys), dtype=bool)
         for k in pd.unique(keys):
             g = cache.get(k)
             if g is None:
@@ -277,7 +292,8 @@ def pip_refine_udf(geoms_by_key: dict[object, bytes]):
                 g = gm.parse_wkb(bytes(buf))
                 cache[k] = g
             m = keys == k
-            out[m] = gm.points_in_polygon(lon_np[m], lat_np[m], g)
+            sub[m] = gm.points_in_polygon(lon_np[m], lat_np[m], g)
+        out[todo] = sub
         return pd.Series(out)
 
     return _pip

@@ -124,6 +124,12 @@ def write_partitioned(
         # only valid one — silently proceeding with a different mode/bounds/
         # partition count would assign remaining rows under a partitioning
         # inconsistent with the committed files.
+        committed_key = man.get("key_col")
+        if committed_key is not None and committed_key != key_col:
+            raise ValueError(
+                f"resume of table {table!r} with key_col={key_col!r} but "
+                f"manifest committed key_col={committed_key!r}"
+            )
         committed_bounds = man.get("range_bounds")
         if committed_bounds is not None:
             # committed bounds win over recomputed/omitted bounds (a rerun
@@ -161,6 +167,7 @@ def write_partitioned(
             "table": table,
             "schema": df.schema.simpleString(),
             "stage": stage,
+            "key_col": key_col,
             "n_partitions": n_partitions,
             "version": 0,
             "range_bounds": range_bounds,

@@ -99,11 +99,15 @@ def _broadcast_join(
             & (F.col(lat) >= F.col("__by0"))
             & (F.col(lat) <= F.col("__by1"))
         )
+        # __full rides INTO the UDF: Spark extracts Python UDFs into an
+        # ArrowEvalPython node below the Filter, so a when(__full, ...)
+        # wrapper would still run the kernel for every candidate; the
+        # in-batch mask skips the ring math for interior-cell rows while
+        # keeping the probe lineage single-pass (a filter/union split
+        # would recompute the point extraction twice).
         refined = cand.filter(
             bbox_ok
-            & F.when(F.col("__full"), F.lit(True)).otherwise(
-                refine_udf(F.col("__pidx"), F.col(lon), F.col(lat))
-            )
+            & refine_udf(F.col("__pidx"), F.col(lon), F.col(lat), F.col("__full"))
         )
     return refined.select(*[F.col(c) for c in out_cols], F.col(poly_id))
 
@@ -154,10 +158,11 @@ def pip_join(
         # a per-cell "fully inside" flag, so
         #   * bbox reject happens as a plain JVM conjunct (the reference's
         #     R-tree bbox prefilter, gutils.py:511),
-        #   * candidates in interior cells skip the PIP kernel entirely
-        #     (rect_fully_inside_polygon — exact, conservatively false),
-        #   * only boundary-cell candidates reach Arrow, carrying one int
-        #     key instead of the poly-id string.
+        #   * interior-cell candidates skip the PIP ring math via an
+        #     in-batch mask inside the Arrow UDF (rect_fully_inside_polygon
+        #     — exact, conservatively false); they still cross Arrow (the
+        #     UDF node sits below the Filter) but pay no kernel work,
+        #   * candidates carry one int key instead of the poly-id string.
         from ..geo import geohash as gh
         from ..geo import geom as gm
         from ..geo import polyfill as pf
@@ -178,9 +183,21 @@ def pip_join(
         dig = hashlib.sha256()
         dig.update(f"{precision}|{refine == 'force'}|{poly_id}|".encode())
         for r in rows:
-            dig.update(str(r[poly_id]).encode())
-            dig.update(bytes(r[geometry]))
-        memo_key = (spark.sparkContext.applicationId, dig.hexdigest())
+            # length-framed fields: without framing, ('a', b'\x01XY') and
+            # ('a\x01', b'XY') would feed identical byte streams
+            pid_b = str(r[poly_id]).encode()
+            wkb_b = bytes(r[geometry])
+            dig.update(len(pid_b).to_bytes(8, "little"))
+            dig.update(pid_b)
+            dig.update(len(wkb_b).to_bytes(8, "little"))
+            dig.update(wkb_b)
+        app_id = spark.sparkContext.applicationId
+        memo_key = (app_id, dig.hexdigest())
+        # entries from a previous session's applicationId reference dead
+        # DataFrames and would otherwise accumulate forever
+        stale = [k for k in _BROADCAST_INDEX_MEMO if k[0] != app_id]
+        for k in stale:
+            del _BROADCAST_INDEX_MEMO[k]
         hit = _BROADCAST_INDEX_MEMO.get(memo_key)
         if hit is not None:
             cells, all_rect = hit
