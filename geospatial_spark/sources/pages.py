@@ -32,10 +32,19 @@ def uniform_col(x: Column, salt: int) -> Column:
 
 
 def _city_name_col(idx: Column) -> Column:
-    expr = F.concat(F.lit("city_"), F.lpad(idx.cast("string"), 3, "0"))
-    for k, (name, _, _) in enumerate(C.MEGACITIES):
-        expr = F.when(idx == F.lit(C.N_SYNTH_CITIES + k), F.lit(name)).otherwise(expr)
-    return expr
+    # NOT a per-megacity when-chain: each when() condition re-inlines the
+    # full idx tree (triple-LCG mention math), and 24 copies × 3 mentions
+    # × (html + text outputs) pushed the derivation Project past the JVM's
+    # 64 KB generated-method limit — the whole stage fell back to
+    # interpreted eval.  element_at over an array literal references idx
+    # 3×, keeping the derivation inside whole-stage codegen.  Same values:
+    # _mention_idx yields either raw % N_SYNTH_CITIES (< N_SYNTH_CITIES)
+    # or N_SYNTH_CITIES + k with k < N_MEGA, so the branch test is exact.
+    mega = F.array(*[F.lit(name) for name, _, _ in C.MEGACITIES])
+    return F.when(
+        idx >= F.lit(C.N_SYNTH_CITIES),
+        F.element_at(mega, (idx - F.lit(C.N_SYNTH_CITIES) + 1).cast("int")),
+    ).otherwise(F.concat(F.lit("city_"), F.lpad(idx.cast("string"), 3, "0")))
 
 
 def _mention_idx(raw: Column) -> Column:
