@@ -105,7 +105,11 @@ def _q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast plan AND the oracle.  Strategy is FORCED to shuffle so the
     salted path is exercised, but salt factor / heavy-cell threshold come
     from the planner's sampled skew stats (not hard-coded), so only
-    genuinely heavy cells replicate."""
+    genuinely heavy cells replicate.  When the planner finds NO skew
+    (salt == 1, the case on the uniform fixtures), pip_join degenerates the
+    plan to a plain cell equi-join — the heavy-cell histogram and salt
+    bookkeeping drop out algebraically; the genuinely-salted plan is
+    driven by tests/test_skew_join.py's forced-skew fixture."""
     pts = _cached_points(spark, sf_dir)
     regions = src.regions(spark)
     plan = planner.choose_pip_plan(pts, regions, force_strategy="shuffle")

@@ -48,30 +48,35 @@ def _shingle_hash_rows(
     """Raw (id, shingle-hash) rows (NOT deduplicated) — shared lineage for
     shingle_hashes / shingle_sets.
 
-    Built as posexplode + window ``lead`` rather than a higher-order
-    ``transform`` over the token array: HOF lambdas are interpreted and
-    re-evaluate any captured expression per element, which re-ran the
-    tokenizer regexp ~3×shingles times per row (measured 40× slower).
-    Here the regexp runs once per row and everything stays in codegen;
-    the window shuffle is keyed by doc id (well distributed)."""
-    from pyspark.sql import Window
-
+    Built entirely map-side: the token array is shifted against itself with
+    ``slice`` (offsets 0..n-1, common length m = #tokens - n + 1), the n
+    shifted copies are ``arrays_zip``-ed into per-position structs, and one
+    ``explode`` emits the shingle rows — NO exchange anywhere in this
+    lineage.  This replaced a posexplode + window ``lead`` formulation
+    whose window shuffled (and sorted) the FULL token stream keyed by doc
+    id — the dominant cost of dedup_minhash at sf0.1 and a 100 TB
+    scale-killer (tokens ≫ docs).  A higher-order ``transform`` was also
+    rejected earlier: HOF lambdas are interpreted and re-evaluate captured
+    expressions per element, re-running the tokenizer regexp ~3×shingles
+    times per row (measured 40× slower).  slice/arrays_zip/explode are
+    plain codegen expressions, so the regexp runs once per row and
+    downstream per-doc aggregations combine map-side (docs are single
+    source rows, so partial aggs see the doc's full shingle set locally)."""
     n = TH.SHINGLE_N
     tok = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(TH.tokens(F.col(text_col))).alias("pos", "t"),
+        TH.tokens(F.col(text_col)).alias("tk"),
+    ).filter(F.size("tk") >= n)
+    m = F.size("tk") - F.lit(n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("tk", j + 1, m).alias(f"t{j}") for j in range(n)]
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    lead_cols = [F.lead("t", j).over(w).alias(f"t{j}") for j in range(1, n)]
-    sh = (
-        tok.select("id", F.col("t").alias("t0"), *lead_cols)
-        .filter(F.col(f"t{n - 1}").isNotNull())
-        .select(
-            "id",
-            F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("s"),
-        )
+    return tok.select("id", F.explode(zipped).alias("s")).select(
+        "id",
+        TH.h60(
+            F.concat_ws(" ", *[F.col(f"s.t{j}") for j in range(n)])
+        ).alias("h"),
     )
-    return sh.select("id", TH.h60(F.col("s")).alias("h"))
 
 
 def shingle_hashes(

@@ -269,6 +269,18 @@ def pip_join(
         from ..functions import caching
 
         pts = caching.track(pts.persist(StorageLevel.MEMORY_AND_DISK))
+        if salt <= 1:
+            # planner said no skew (salt factor 1): pmod(x, 1) == 0 for every
+            # row, so the salted plan degenerates algebraically to a plain
+            # cell equi-join — skip the heavy-cell histogram and the two
+            # broadcast annotate-joins entirely (3 fewer stages; identical
+            # rows).  The genuinely-salted plan below is exercised whenever
+            # the planner's sampled histogram finds a heavy cell
+            # (tests/test_skew_join.py forces that regime).
+            cand = pts.join(cells, pts["__cell"] == cells["cell"], "inner")
+            refine = udfs.pip_refine_wkb_udf()
+            refined = cand.filter(refine(F.col("__geom"), F.col(lon), F.col(lat)))
+            return refined.select(*[F.col(c) for c in out_cols], F.col(poly_id))
         heavy = (
             pts.groupBy("__cell")
             .count()

@@ -55,9 +55,11 @@ def test_broadcast_pip_join_has_no_keyed_shuffle(spark):
 
 
 def test_minhash_signatures_reuse_partitioning(spark):
-    """shingle_sets keys everything on id once: the shingle window, the
-    collect_set aggregation AND the 64-min signature aggregation must share
-    a single keyed exchange (the optimization that cut dedup_minhash ~40%).
+    """shingle_sets keys everything on id once: the shingle build itself is
+    exchange-free (map-side slice/arrays_zip/explode), so the collect_set
+    aggregation AND the 64-min signature aggregation must share a single
+    keyed exchange — and since every doc is one source row, the partial
+    aggs complete map-side and that exchange carries ~one row per doc.
     If an earlier test left the shingle relation cached, the cached scan
     preserves the id partitioning and the count drops to 0 — still the
     property under test (never MORE than one)."""
