@@ -257,30 +257,32 @@ def pip_join(
         # exploded (cell, poly, geom) relation through the shuffle and the
         # refine UDF memoizes parses per executor.  Explicit skew salting
         # (N5): heavy point cells replicate the polygon side `salt` ways.
-        from pyspark import StorageLevel
-
         cells = polygon_cells(
             polys_df, poly_id, precision, geometry, keep_geometry=True, codes=True
         )
-        # the point side feeds the heavy-cell histogram AND the probe join —
-        # persist so extraction/encode lineage runs once (at 100 TB this is
-        # a disk-backed materialization, the standard two-pass skew pattern);
-        # registered with functions.caching so long-lived sessions release it
-        from ..functions import caching
-
-        pts = caching.track(pts.persist(StorageLevel.MEMORY_AND_DISK))
         if salt <= 1:
             # planner said no skew (salt factor 1): pmod(x, 1) == 0 for every
             # row, so the salted plan degenerates algebraically to a plain
-            # cell equi-join — skip the heavy-cell histogram and the two
-            # broadcast annotate-joins entirely (3 fewer stages; identical
-            # rows).  The genuinely-salted plan below is exercised whenever
-            # the planner's sampled histogram finds a heavy cell
+            # cell equi-join — skip the heavy-cell histogram, the two
+            # broadcast annotate-joins AND the point-side persist (the
+            # materialization only pays for itself when the histogram needs
+            # a second pass over the points).  Identical rows.  The
+            # genuinely-salted plan below is exercised whenever the
+            # planner's sampled histogram finds a heavy cell
             # (tests/test_skew_join.py forces that regime).
             cand = pts.join(cells, pts["__cell"] == cells["cell"], "inner")
             refine = udfs.pip_refine_wkb_udf()
             refined = cand.filter(refine(F.col("__geom"), F.col(lon), F.col(lat)))
             return refined.select(*[F.col(c) for c in out_cols], F.col(poly_id))
+        # the point side feeds the heavy-cell histogram AND the probe join —
+        # persist so extraction/encode lineage runs once (at 100 TB this is
+        # a disk-backed materialization, the standard two-pass skew pattern);
+        # registered with functions.caching so long-lived sessions release it
+        from pyspark import StorageLevel
+
+        from ..functions import caching
+
+        pts = caching.track(pts.persist(StorageLevel.MEMORY_AND_DISK))
         heavy = (
             pts.groupBy("__cell")
             .count()

@@ -51,15 +51,19 @@ class PipPlan:
     heavy_cell_rows: int
 
 
-def choose_precision(polys_df: DataFrame) -> int:
-    """Coarsest precision with avg cells/polygon <= budget, from bboxes.
-
-    Uses only the polygon bbox columns (minx..maxy) — one tiny agg."""
+def _poly_stats(polys_df: DataFrame) -> tuple[int, float, float]:
+    """(row count, avg bbox width, avg bbox height) in ONE driver-blocking
+    job — the planner's polygon-side stats are all derivable from this
+    single tiny agg (count + two avgs share one scan)."""
     row = polys_df.agg(
+        F.count(F.lit(1)).alias("n"),
         F.avg(F.col("maxx") - F.col("minx")).alias("w"),
         F.avg(F.col("maxy") - F.col("miny")).alias("h"),
     ).collect()[0]
-    w, h = row["w"] or 1.0, row["h"] or 1.0
+    return int(row["n"]), row["w"] or 1.0, row["h"] or 1.0
+
+
+def _precision_for(w: float, h: float) -> int:
     best = 1
     for p in range(1, 13):
         cw, ch = _CELL_DEG[p]
@@ -68,6 +72,14 @@ def choose_precision(polys_df: DataFrame) -> int:
             break
         best = p
     return best
+
+
+def choose_precision(polys_df: DataFrame) -> int:
+    """Coarsest precision with avg cells/polygon <= budget, from bboxes.
+
+    Uses only the polygon bbox columns (minx..maxy) — one tiny agg."""
+    _, w, h = _poly_stats(polys_df)
+    return _precision_for(w, h)
 
 
 def choose_pip_plan(
@@ -80,21 +92,19 @@ def choose_pip_plan(
 ) -> PipPlan:
     """Pick strategy + salt for pip_join.
 
-    One count on the polygon side (tiny), one sampled cell histogram on the
-    point side.  Salt factor ≈ how many times the heaviest sampled cell
-    exceeds the mean cell load, capped at 16.  ``force_strategy`` pins the
-    broadcast/shuffle choice (e.g. to exercise the salted shuffle path on a
-    broadcast-sized input) while still deriving salt/heavy-cell stats."""
-    precision = choose_precision(polys_df)
-    n_polys = polys_df.count()
+    One tiny agg on the polygon side (count + avg bbox dims share a scan),
+    one sampled cell histogram on the point side — two driver-blocking jobs
+    total, both JVM-only (the histogram keys on the codegen BIGINT cell
+    code, not the pandas encode UDF: planner latency is serial time on
+    every planned query, measured ~5 s → ~1.5 s at sf0.1).  Salt factor ≈
+    how many times the heaviest sampled cell exceeds the mean cell load,
+    capped at 16.  ``force_strategy`` pins the broadcast/shuffle choice
+    (e.g. to exercise the salted shuffle path on a broadcast-sized input)
+    while still deriving salt/heavy-cell stats."""
+    n_polys, w, h = _poly_stats(polys_df)
+    precision = _precision_for(w, h)
     cw, ch = _CELL_DEG[precision]
-    row = polys_df.agg(
-        F.avg(F.col("maxx") - F.col("minx")).alias("w"),
-        F.avg(F.col("maxy") - F.col("miny")).alias("h"),
-    ).collect()[0]
-    est_cells = n_polys * max(
-        1.0, ((row["w"] or 1.0) / cw + 1) * ((row["h"] or 1.0) / ch + 1)
-    )
+    est_cells = n_polys * max(1.0, (w / cw + 1) * (h / ch + 1))
     strategy = "broadcast" if est_cells <= BROADCAST_LIMIT_CELLS else "shuffle"
     if force_strategy is not None:
         strategy = force_strategy
@@ -103,10 +113,11 @@ def choose_pip_plan(
     if strategy == "shuffle":
         from ..functions import udfs
 
-        enc = udfs.geohash_encode_udf(precision)
         sample = points_df.sample(fraction=sample_fraction, seed=42)
         hist = (
-            sample.withColumn("__c", enc(F.col("lat"), F.col("lon")))
+            sample.withColumn(
+                "__c", udfs.geohash_int_col(F.col("lat"), F.col("lon"), precision)
+            )
             .groupBy("__c")
             .count()
         )
