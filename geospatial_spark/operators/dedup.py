@@ -127,28 +127,6 @@ def _minhash_bands(sigs: DataFrame) -> DataFrame:
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
-def _cap_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
-    """Deterministic per-bucket size cap: keep the `max_bucket` smallest ids
-    of each (band, key) bucket (row_number over id — SQL-mirrorable).
-
-    THE 100 TB guard: without a cap, a bucket of m near-identical docs emits
-    O(m²) candidate pairs — a million-member boilerplate cluster explodes.
-    With the cap, pair emission is bounded by bands × C(max_bucket, 2) per
-    bucket; the dropped members are still recovered by clustering via the
-    star-edge path (lsh_star_edges), which stays O(m).  Use
-    ``lsh_bucket_stats`` to surface how many buckets overflowed."""
-    if max_bucket is None:
-        return bands
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "key").orderBy("id")
-    return (
-        bands.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= max_bucket)
-        .drop("__rk")
-    )
-
-
 def lsh_bucket_stats(sigs: DataFrame, max_bucket: int) -> DataFrame:
     """One-row overflow report: (n_buckets, n_over_cap, max_bucket_size).
     Cheap partial-agg job; pipelines log it next to capped candidate runs
@@ -164,19 +142,52 @@ def lsh_bucket_stats(sigs: DataFrame, max_bucket: int) -> DataFrame:
 def lsh_candidates(sigs: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Banded LSH: (id_a < id_b) pairs sharing at least one band key.
 
-    ``max_bucket`` bounds per-bucket pair emission (see _cap_buckets)."""
-    bands = _cap_buckets(_minhash_bands(sigs), max_bucket)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-            "inner",
+    ``max_bucket`` is THE 100 TB guard: without a cap, a bucket of m
+    near-identical docs emits O(m²) candidate pairs — a million-member
+    boilerplate cluster explodes.  Capped (smallest ``max_bucket`` ids per
+    bucket — deterministic, SQL-mirrorable), pair emission is bounded by
+    bands × C(max_bucket, 2) per bucket; dropped members are still
+    recovered by clustering via the star-edge path (lsh_star_edges, O(m)).
+    ``lsh_bucket_stats`` surfaces how many buckets overflowed.
+
+    The capped path aggregates each (band, key) bucket to its sorted
+    capped id array in ONE keyed exchange and explodes the C(m,2) pairs
+    from the ≤``max_bucket``-element array in-row — replacing the
+    row_number window + bands⨝bands self-join (window exchange + join
+    build over the full band relation, the dominant dedup_minhash stage
+    at sf0.1).  ``slice(sort_array(collect_list(id)), 1, cap)`` keeps the
+    smallest ``cap`` ids — exactly the window cap's keep-set, so the
+    DuckDB oracle (row_number formulation) is unchanged."""
+    bands = _minhash_bands(sigs)
+    if max_bucket is None:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")),
+                "inner",
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
+    pos = buckets.select("ids", F.posexplode("ids").alias("i", "id_a"))
+    return (
+        pos.select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -268,7 +279,7 @@ def dedup_minhash(
     persisted (memory-and-disk) so the text → shingle → hash pipeline runs
     once, not twice; the persist is registered with functions.caching so
     long-lived sessions can release it (round-1 advice).  ``max_bucket``
-    caps per-bucket pair emission (the 100 TB guard — see _cap_buckets)."""
+    caps per-bucket pair emission (the 100 TB guard — see lsh_candidates)."""
     from pyspark import StorageLevel
 
     from ..functions import caching
@@ -329,32 +340,57 @@ def dedup_simhash(
     st = simhash_table(df, id_col, text_col)
     bands = _simhash_bands(st)
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "key").orderBy("id")
-        bands = (
-            bands.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= max_bucket)
-            .drop("__rk")
+        # same single-agg bucket-array pair generation as lsh_candidates:
+        # sort_array over (id, simhash) structs orders by id (ids unique per
+        # bucket), slice keeps the window cap's exact keep-set, pairs explode
+        # in-row from the ≤cap-element array — one keyed exchange, no window,
+        # no self-join.
+        buckets = (
+            bands.groupBy("band", "key")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list(F.struct("id", "simhash"))),
+                    1,
+                    max_bucket,
+                ).alias("ms")
+            )
+            .filter(F.size("ms") >= 2)
         )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-            "inner",
+        pos = buckets.select("ms", F.posexplode("ms").alias("i", "a"))
+        pairs = (
+            pos.select(
+                "a",
+                F.explode(
+                    F.slice(F.col("ms"), F.col("i") + F.lit(2), F.size("ms"))
+                ).alias("b"),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+    else:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")),
+                "inner",
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
     return (
         pairs.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
