@@ -69,6 +69,19 @@ def test_minhash_signatures_reuse_partitioning(spark):
     assert _keyed_shuffles(_plan(sigs)) <= 1
 
 
+def test_shingle_build_is_exchange_free(spark):
+    """Late-r3: the (id, shingle-hash) relation is built entirely map-side
+    (slice/arrays_zip/explode over the token array) — zero exchanges, zero
+    Window nodes.  The old posexplode + window-lead formulation shuffled
+    and sorted the FULL token stream (tokens ≫ docs at corpus scale)."""
+    docs = spark.range(8).selectExpr(
+        "cast(id as string) as url", "'a b c d e f g h' as text"
+    )
+    p = _plan(dd._shingle_hash_rows(docs))
+    assert _keyed_shuffles(p) == 0
+    assert "Window" not in p
+
+
 def test_capped_lsh_candidates_no_window_no_selfjoin(spark):
     """Late-r3 candidate generation: with a bucket cap, the LSH pair stage
     must build each (band, key) bucket's sorted capped id array in ONE
