@@ -806,8 +806,8 @@ def _q_corpus_curate(spark, sf_dir):
 def _q_dedup_block_stats(spark, sf_dir):
     """Candidate-cap overflow report for BOTH blocking families (no silent
     truncation): MinHash-LSH bucket caps (DEDUP_MAX_BUCKET) and dedup_ngram
-    prefix-block caps (the lsh_bucket_stats twin the round-2 review asked
-    for, item 8) — one driver-checked row per family."""
+    rarest-first prefix-bucket caps (the lsh_bucket_stats twin the round-2
+    review asked for, item 8) — one driver-checked row per family."""
     pages = src.pages(spark, sf_dir)
     sets = dd.shingle_sets(pages)
     sigs = dd.minhash_signatures(sets.select("id", F.explode("hs").alias("h")))

@@ -127,31 +127,48 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
     )
 
 
+def _ngram_prefix_ctes(threshold_ppm: int, suffix: str = "") -> str:
+    """Shared CTE chain for rarest-first prefix filtering (mirrors
+    operators.dedup._ngram_doc_arrays): distinct (id, word-n-gram-hash)
+    rows — the SAME shingle space dedup_minhash signs — global gram
+    document-frequency, per-doc (df, h)-ranked grams, prefix of length
+    n − ⌈t·n⌉ + 1 (exact integer ceiling — the same
+    (t·n + 999999) // 1e6 arithmetic as the Spark `div` expression)."""
+    sh = TH.word_shingles_sql("text")
+    s = suffix
+    return f"""raw{s} AS (SELECT url AS id, unnest({sh}) AS sg FROM pages),
+base{s} AS (SELECT DISTINCT id, {TH.h60_sql('sg')} AS h FROM raw{s}),
+gdf{s} AS (SELECT h, count(*) AS df FROM base{s} GROUP BY 1),
+cnt{s} AS (SELECT id, count(*) AS n FROM base{s} GROUP BY 1),
+ranked{s} AS (SELECT b.id, b.h,
+                     row_number() OVER (PARTITION BY b.id ORDER BY g.df ASC, b.h ASC) AS rk
+              FROM base{s} b JOIN gdf{s} g ON g.h = b.h),
+pref{s} AS (SELECT r.id, r.h FROM ranked{s} r JOIN cnt{s} c ON c.id = r.id
+            WHERE r.rk <= c.n - (({threshold_ppm} * c.n + 999999) // 1000000) + 1)"""
+
+
 def dedup_ngram_sql(
-    k: int = 4, prefix: int = 40, threshold_ppm: int = 800_000,
-    max_block: int | None = None,
+    threshold_ppm: int = 800_000, max_block: int | None = None
 ) -> str:
-    csh = TH.char_shingles_h_sql("text", k)
     if max_block is not None:
-        sizes_src = (
-            "(SELECT id, blk, n FROM "
-            "(SELECT *, row_number() OVER (PARTITION BY blk ORDER BY id ASC) AS rk FROM sizes) "
-            f"WHERE rk <= {max_block})"
-        )
+        cap = """,
+pref_rk AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY id ASC) AS rk FROM pref)"""
+        pref_src = f"(SELECT id, h FROM pref_rk WHERE rk <= {max_block})"
     else:
-        sizes_src = "sizes"
+        cap = ""
+        pref_src = "pref"
     return _with_pages(
-        f"""raw AS (SELECT url AS id, md5(substr(text, 1, {prefix})) AS blk,
-                unnest({csh}) AS h FROM pages),
-base AS (SELECT DISTINCT id, blk, h FROM raw),
-sizes AS (SELECT id, blk, count(*) AS n FROM base GROUP BY 1, 2),
-cand AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb
-         FROM {sizes_src} a JOIN {sizes_src} b ON a.blk = b.blk AND a.id < b.id),
-inter AS (SELECT c.id_a, c.id_b, c.na, c.nb, count(*) AS inter
-          FROM cand c JOIN base sa ON sa.id = c.id_a JOIN base sb ON sb.id = c.id_b AND sb.h = sa.h
-          GROUP BY 1, 2, 3, 4)
-SELECT id_a, id_b, CAST(floor(1e6 * inter / (na + nb - inter)) AS BIGINT) AS jac_ppm
-FROM inter WHERE CAST(floor(1e6 * inter / (na + nb - inter)) AS BIGINT) >= {threshold_ppm}"""
+        f"""{_ngram_prefix_ctes(threshold_ppm)}{cap},
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM {pref_src} a JOIN {pref_src} b ON a.h = b.h AND a.id < b.id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c JOIN base sa ON sa.id = c.id_a
+                      JOIN base sb ON sb.id = c.id_b AND sb.h = sa.h
+          GROUP BY 1, 2),
+jac AS (SELECT i.id_a, i.id_b,
+               CAST(floor(1e6 * i.inter / (ca.n + cb.n - i.inter)) AS BIGINT) AS jac_ppm
+        FROM inter i JOIN cnt ca ON ca.id = i.id_a JOIN cnt cb ON cb.id = i.id_b)
+SELECT id_a, id_b, jac_ppm FROM jac WHERE jac_ppm >= {threshold_ppm}"""
     )
 
 
@@ -390,11 +407,13 @@ FROM sizes"""
 
 
 def dedup_block_stats_sql(
-    max_bucket: int = 8, prefix: int = 40, max_block: int = 16
+    max_bucket: int = 8,
+    threshold_ppm: int = 800_000,
+    max_block: int = 16,
 ) -> str:
-    """Union overflow report: MinHash-LSH bucket caps + n-gram prefix-block
-    caps, one row per blocking family (mirrors dedup.lsh_bucket_stats ∪
-    dedup.ngram_block_stats)."""
+    """Union overflow report: MinHash-LSH bucket caps + rarest-first n-gram
+    prefix-bucket caps, one row per blocking family (mirrors
+    dedup.lsh_bucket_stats ∪ dedup.ngram_block_stats)."""
     sh = TH.word_shingles_sql("text")
     mins = ", ".join(TH.minhash_min_aggs_sql("h"))
     keys = ", ".join(TH.band_key_sql(b) for b in range(TH.MINHASH_BANDS))
@@ -409,7 +428,8 @@ sigs AS (SELECT id, {mins} FROM shh GROUP BY id),
 keys AS (SELECT id, {keys} FROM sigs),
 bands AS ({bands_union}),
 sizes AS (SELECT band, key, count(*) AS c FROM bands GROUP BY 1, 2),
-nblk AS (SELECT md5(substr(text, 1, {prefix})) AS blk, count(*) AS c FROM pages GROUP BY 1)
+{_ngram_prefix_ctes(threshold_ppm)},
+nblk AS (SELECT h, count(*) AS c FROM pref GROUP BY 1)
 SELECT 'lsh_minhash' AS family, count(*) AS n_buckets,
        CAST(sum(CASE WHEN c > {max_bucket} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
        max(c) AS max_bucket_size
