@@ -468,7 +468,14 @@ def _ngram_doc_arrays(
     (lexicographic on (df, h) — the global order), slice the prefix
     in-row.  The transform lambdas only extract a struct field (no
     captured expensive expressions — the interpreted-HOF hazard doesn't
-    apply)."""
+    apply).
+
+    Scale note: global document-frequency inherently costs gram-scale
+    exchanges (the gdf groupBy and the base⨝gdf equi-join, both keyed on
+    the uniform 60-bit gram hash, plus the per-doc regroup by id) — the
+    price of EXACT df-ordering, same class as a TF-IDF pass.  That is why
+    this operator is the exact/verification tier; the probabilistic tier
+    (dedup_minhash) keeps its exchanges at doc scale."""
     tp = int(threshold_ppm)
     base = shingle_hashes(df, id_col, text_col)
     gdf = base.groupBy("h").agg(F.count(F.lit(1)).alias("df"))

@@ -20,6 +20,9 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bucketed-table tests (test_bucketed_join.py) saveAsTable here;
+        # keep the warehouse out of the repo checkout
+        .config("spark.sql.warehouse.dir", "/tmp/geospatial_spark_warehouse")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
