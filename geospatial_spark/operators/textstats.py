@@ -96,6 +96,83 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: "fraction of
+    characters in the most common n-gram"): per doc, the share of token /
+    bigram occurrences taken by the most frequent token / word bigram.
+
+    Output (docs with ≥ 2 tokens): (id, n_tokens, top_token_ppm,
+    top_bigram_ppm) — exact-int ppm (floor(1e6·max/total)), oracle-exact.
+
+    All-JVM plan: the bigram stream is built map-side with the same
+    slice/arrays_zip/explode shift used by the shingle builder (no window,
+    no Python); two keyed aggs per family (per-(doc, gram) count, then
+    per-doc max/sum — both partial-agg'd map-side)."""
+    t = TH.tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("id"), t.alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    m = F.size("tk") - F.lit(1)
+    big = F.arrays_zip(
+        F.slice("tk", 1, m).alias("a"), F.slice("tk", 2, m).alias("b")
+    )
+    bigrams = base.select("id", F.explode(big).alias("g")).select(
+        "id", F.concat_ws(" ", F.col("g.a"), F.col("g.b")).alias("g")
+    )
+    big_stats = (
+        bigrams.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("bmx"), F.sum("c").alias("btot"))
+    )
+    toks = base.select("id", F.explode("tk").alias("t"))
+    tok_stats = (
+        toks.groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("tmx"), F.sum("c").alias("ttot"))
+    )
+    return tok_stats.join(big_stats, "id").select(
+        "id",
+        F.col("ttot").alias("n_tokens"),
+        F.floor(F.lit(1e6) * F.col("tmx") / F.col("ttot"))
+        .cast("bigint")
+        .alias("top_token_ppm"),
+        F.floor(F.lit(1e6) * F.col("bmx") / F.col("btot"))
+        .cast("bigint")
+        .alias("top_bigram_ppm"),
+    )
+
+
+def repetition_stats_sql() -> str:
+    """DuckDB mirror of repetition_stats over the `documents` view."""
+    tk = TH.tokens_sql("text")
+    return f"""WITH base AS (
+  SELECT doc_id AS id, {tk} AS tk FROM documents
+), base2 AS (
+  SELECT id, tk FROM base WHERE len(tk) >= 2
+), toks AS (
+  SELECT id, unnest(tk) AS t FROM base2
+), tokc AS (
+  SELECT id, t, count(*) AS c FROM toks GROUP BY 1, 2
+), tstat AS (
+  SELECT id, max(c) AS tmx, sum(c) AS ttot FROM tokc GROUP BY 1
+), bigrams AS (
+  SELECT id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM base2
+), bigc AS (
+  SELECT id, g, count(*) AS c FROM bigrams GROUP BY 1, 2
+), bstat AS (
+  SELECT id, max(c) AS bmx, sum(c) AS btot FROM bigc GROUP BY 1
+)
+SELECT t.id, CAST(t.ttot AS BIGINT) AS n_tokens,
+       CAST(floor(1e6 * t.tmx / t.ttot) AS BIGINT) AS top_token_ppm,
+       CAST(floor(1e6 * b.bmx / b.btot) AS BIGINT) AS top_bigram_ppm
+FROM tstat t JOIN bstat b ON b.id = t.id"""
+
+
 def doc_fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",
