@@ -98,3 +98,49 @@ def test_haversine_metric_properties(lat1, lon1, lat2, lon2):
     assert d <= np.pi * dist.EARTH_RADIUS_M + 1.0  # ≤ half circumference
     d_self = dist.haversine(np.array([lat1]), np.array([lon1]), np.array([lat1]), np.array([lon1]))[0]
     assert d_self < 1e-6
+
+
+# --- rarest-first prefix-filter lemma (operators/dedup._ngram_doc_arrays) ---
+#
+# Pure-python mirror of the operator's arithmetic: global order = (df, h)
+# ascending, prefix length p = n - ceil(t*n) + 1 with the exact integer
+# ceiling ((tp*n + 999999) // 1e6).  The lemma: any pair with Jaccard >= t
+# shares at least one prefix gram.  Hypothesis sweeps tiny adversarial
+# universes (heavy overlap, threshold-boundary pairs) that the fixture
+# corpus never produces.
+
+sets_strategy = st.lists(
+    st.frozensets(st.integers(min_value=0, max_value=30), min_size=1, max_size=20),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(sets_strategy, st.integers(min_value=500_000, max_value=999_999))
+def test_prefix_filter_lemma_exact_recall(sets, tp):
+    from collections import Counter
+
+    df = Counter()
+    for s in sets:
+        for g in s:
+            df[g] += 1
+
+    def prefix(s):
+        n = len(s)
+        p = n - ((tp * n + 999999) // 1_000_000) + 1
+        ordered = sorted(s, key=lambda g: (df[g], g))
+        return set(ordered[:p])
+
+    prefixes = [prefix(s) for s in sets]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            uni = len(a | b)
+            jac_ppm = (1_000_000 * inter) // uni
+            if jac_ppm >= tp:
+                assert prefixes[i] & prefixes[j], (
+                    f"pair with jac {jac_ppm} >= {tp} shares no prefix gram: "
+                    f"{sorted(a)} / {sorted(b)}"
+                )
