@@ -178,13 +178,6 @@ def word_shingles_sql(expr: str, n: int = SHINGLE_N) -> str:
     )
 
 
-def char_shingles_h_sql(expr: str, k: int) -> str:
-    return (
-        f"(SELECT list_transform(range(1, greatest(1, length(__c) - {k - 2})), "
-        f"i -> {h60_sql(f'substr(__c, i, {k})')}) FROM (SELECT ({expr}) AS __c) __s)"
-    )
-
-
 def minhash_min_aggs_sql(hcol: str = "h") -> list[str]:
     hp = f"({hcol} % {MERSENNE_P})"
     return [

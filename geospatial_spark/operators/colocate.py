@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import udfs
-from .pip_join import polygon_cells
+from .pip_join import polygon_cells, refine_candidates
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int) -> None:
@@ -90,6 +90,4 @@ def pip_join_bucketed(
         else [c for c in pts.columns if c != "cell"]
     )
     cand = pts.join(cells, "cell", "inner")
-    refine = udfs.pip_refine_wkb_udf()
-    refined = cand.filter(refine(F.col("__geom"), F.col(lon), F.col(lat)))
-    return refined.select(*[F.col(c) for c in out_cols], F.col(poly_id))
+    return refine_candidates(cand, lon, lat, out_cols, poly_id)

@@ -139,6 +139,53 @@ def lsh_bucket_stats(sigs: DataFrame, max_bucket: int) -> DataFrame:
     )
 
 
+def _bucket_pairs(rel: DataFrame, keys: list[str], val, cap: int) -> DataFrame:
+    """Capped candidate pairs (a < b in `val` order) from (keys…, member)
+    buckets — the shared scale-safe pair generator for the LSH / SimHash /
+    prefix-gram families.
+
+    Two stages sharing ONE keyed exchange:
+
+    1. CAP, streaming: row_number window over `keys` ordered by `val`
+       keeps the smallest `cap` members.  The window's sort is spillable
+       and never holds more than a partition's rows — a million-member
+       boilerplate bucket streams through.  (A prior formulation capped
+       with ``slice(sort_array(collect_list(...)), 1, cap)``, which
+       materializes the FULL uncapped bucket in one aggregation buffer
+       before slicing — O(m) single-task memory on exactly the mega-
+       cluster workload the cap exists to guard.)
+    2. PAIR, in-row: the ≤cap survivors collect to a sorted array —
+       bounded by `cap` BY CONSTRUCTION, and the groupBy reuses the
+       window's hash partitioning so Catalyst inserts no second exchange
+       — and the C(m,2) ordered pairs explode from it.  No self-join on
+       the bucket key (the dominant stage of the original bands⨝bands
+       formulation).
+
+    `val` may be a column name or a struct column (struct ordering is
+    lexicographic, so struct(id, payload) sorts by id when ids are unique
+    per bucket).  Keep-set identical to the DuckDB row_number oracles.
+    Callers add their own `.distinct()` over the projected pair columns."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(val)
+    capped = (
+        rel.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+    )
+    buckets = (
+        capped.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(val)).alias("__ms"))
+        .filter(F.size("__ms") >= 2)
+    )
+    pos = buckets.select("__ms", F.posexplode("__ms").alias("__i", "a"))
+    return pos.select(
+        "a",
+        F.explode(
+            F.slice(F.col("__ms"), F.col("__i") + F.lit(2), F.size("__ms"))
+        ).alias("b"),
+    )
+
+
 def lsh_candidates(sigs: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Banded LSH: (id_a < id_b) pairs sharing at least one band key.
 
@@ -148,16 +195,9 @@ def lsh_candidates(sigs: DataFrame, max_bucket: int | None = None) -> DataFrame:
     bucket — deterministic, SQL-mirrorable), pair emission is bounded by
     bands × C(max_bucket, 2) per bucket; dropped members are still
     recovered by clustering via the star-edge path (lsh_star_edges, O(m)).
-    ``lsh_bucket_stats`` surfaces how many buckets overflowed.
-
-    The capped path aggregates each (band, key) bucket to its sorted
-    capped id array in ONE keyed exchange and explodes the C(m,2) pairs
-    from the ≤``max_bucket``-element array in-row — replacing the
-    row_number window + bands⨝bands self-join (window exchange + join
-    build over the full band relation, the dominant dedup_minhash stage
-    at sf0.1).  ``slice(sort_array(collect_list(id)), 1, cap)`` keeps the
-    smallest ``cap`` ids — exactly the window cap's keep-set, so the
-    DuckDB oracle (row_number formulation) is unchanged."""
+    ``lsh_bucket_stats`` surfaces how many buckets overflowed.  Pair
+    generation via the shared _bucket_pairs (streaming cap + in-row pair
+    explode, no bands⨝bands self-join)."""
     bands = _minhash_bands(sigs)
     if max_bucket is None:
         a = bands.alias("a")
@@ -173,21 +213,9 @@ def lsh_candidates(sigs: DataFrame, max_bucket: int | None = None) -> DataFrame:
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
         )
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(
-            F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids")
-        )
-        .filter(F.size("ids") >= 2)
-    )
-    pos = buckets.select("ids", F.posexplode("ids").alias("i", "id_a"))
     return (
-        pos.select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
-            ).alias("id_b"),
-        )
+        _bucket_pairs(bands, ["band", "key"], "id", max_bucket)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
 
@@ -340,29 +368,12 @@ def dedup_simhash(
     st = simhash_table(df, id_col, text_col)
     bands = _simhash_bands(st)
     if max_bucket is not None:
-        # same single-agg bucket-array pair generation as lsh_candidates:
-        # sort_array over (id, simhash) structs orders by id (ids unique per
-        # bucket), slice keeps the window cap's exact keep-set, pairs explode
-        # in-row from the ≤cap-element array — one keyed exchange, no window,
-        # no self-join.
-        buckets = (
-            bands.groupBy("band", "key")
-            .agg(
-                F.slice(
-                    F.sort_array(F.collect_list(F.struct("id", "simhash"))),
-                    1,
-                    max_bucket,
-                ).alias("ms")
-            )
-            .filter(F.size("ms") >= 2)
-        )
-        pos = buckets.select("ms", F.posexplode("ms").alias("i", "a"))
+        # shared _bucket_pairs generator: struct(id, simhash) sorts by id
+        # (ids unique per bucket), so the keep-set equals the oracle's
+        # row_number-over-id cap and the hash rides along for free.
         pairs = (
-            pos.select(
-                "a",
-                F.explode(
-                    F.slice(F.col("ms"), F.col("i") + F.lit(2), F.size("ms"))
-                ).alias("b"),
+            _bucket_pairs(
+                bands, ["band", "key"], F.struct("id", "simhash"), max_bucket
             )
             .select(
                 F.col("a.id").alias("id_a"),
@@ -527,20 +538,32 @@ def dedup_ngram(
         )
     )
     pref = arrs.select("id", F.explode("pref").alias("h"))
-    ids = F.sort_array(F.collect_list("id"))
     if max_block is not None:
-        ids = F.slice(ids, 1, max_block)
-    buckets = pref.groupBy("h").agg(ids.alias("ids")).filter(F.size("ids") >= 2)
-    pos = buckets.select("ids", F.posexplode("ids").alias("i", "id_a"))
-    cand = (
-        pos.select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
-            ).alias("id_b"),
+        cand = (
+            _bucket_pairs(pref, ["h"], "id", max_block)
+            .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        # exact-recall mode (correctness tier, small/verification scale):
+        # NO bound on bucket membership — a degenerate corpus of m
+        # identical docs makes one O(m)-array bucket and C(m,2) in-row
+        # pairs.  Scale callers pass max_block (the driver query does).
+        buckets = (
+            pref.groupBy("h")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        pos = buckets.select("ids", F.posexplode("ids").alias("i", "id_a"))
+        cand = (
+            pos.select(
+                "id_a",
+                F.explode(
+                    F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
+                ).alias("id_b"),
+            )
+            .distinct()
+        )
     return _jaccard_join(cand, arrs.select("id", "arr", "n"), threshold_ppm).select(
         "id_a", "id_b", "jac_ppm"
     )

@@ -62,6 +62,19 @@ def polygon_cells(
     )
 
 
+def refine_candidates(
+    cand: DataFrame, lon: str, lat: str, out_cols: list, poly_id: str
+) -> DataFrame:
+    """Exact even-odd PIP refine over (point, cell-matched polygon WKB)
+    candidate rows + output projection — the shared tail of every
+    WKB-riding join path (pip_join shuffle/degenerate branches and
+    colocate.pip_join_bucketed are contractually row-identical; keeping
+    the refine in one place keeps them so)."""
+    refine = udfs.pip_refine_wkb_udf()
+    refined = cand.filter(refine(F.col("__geom"), F.col(lon), F.col(lat)))
+    return refined.select(*[F.col(c) for c in out_cols], F.col(poly_id))
+
+
 # (applicationId, polygon-set digest) → (broadcast cells DataFrame, all_rect)
 _BROADCAST_INDEX_MEMO: dict = {}
 
@@ -271,9 +284,7 @@ def pip_join(
             # planner's sampled histogram finds a heavy cell
             # (tests/test_skew_join.py forces that regime).
             cand = pts.join(cells, pts["__cell"] == cells["cell"], "inner")
-            refine = udfs.pip_refine_wkb_udf()
-            refined = cand.filter(refine(F.col("__geom"), F.col(lon), F.col(lat)))
-            return refined.select(*[F.col(c) for c in out_cols], F.col(poly_id))
+            return refine_candidates(cand, lon, lat, out_cols, poly_id)
         # the point side feeds the heavy-cell histogram AND the probe join —
         # persist so extraction/encode lineage runs once (at 100 TB this is
         # a disk-backed materialization, the standard two-pass skew pattern);
@@ -316,10 +327,7 @@ def pip_join(
             (pts_s["__cell"] == cells_s["cell"]) & (pts_s["__salt"] == cells_s["__salt"]),
             "inner",
         )
-        refine = udfs.pip_refine_wkb_udf()
-        refined = cand.filter(refine(F.col("__geom"), F.col(lon), F.col(lat)))
-
-    return refined.select(*[F.col(c) for c in out_cols], F.col(poly_id))
+        return refine_candidates(cand, lon, lat, out_cols, poly_id)
 
 
 def pip_join_counts(joined: DataFrame, poly_id: str = "region_id") -> DataFrame:

@@ -63,8 +63,9 @@ def _shingle_ctes(max_bucket: int | None = None) -> str:
     )
     cap = ""
     if max_bucket is not None:
-        # mirror operators.dedup._cap_buckets: keep the max_bucket smallest
-        # ids per (band, key) bucket before pairing
+        # mirror operators.dedup.lsh_candidates' cap (via _bucket_pairs):
+        # keep the max_bucket smallest ids per (band, key) bucket before
+        # pairing
         cap = f"""
 bands_rk AS (SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY id ASC) AS rk
              FROM bands),"""

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 from pyspark.sql import SparkSession
@@ -21,8 +23,12 @@ def spark():
         .config("spark.driver.memory", "8g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bucketed-table tests (test_bucketed_join.py) saveAsTable here;
-        # keep the warehouse out of the repo checkout
-        .config("spark.sql.warehouse.dir", "/tmp/geospatial_spark_warehouse")
+        # keep the warehouse out of the repo checkout, pid-suffixed so two
+        # concurrent pytest sessions never overwrite each other's tables
+        .config(
+            "spark.sql.warehouse.dir",
+            f"/tmp/geospatial_spark_warehouse_{os.getpid()}",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -82,24 +82,23 @@ def test_shingle_build_is_exchange_free(spark):
     assert "Window" not in p
 
 
-def test_capped_lsh_candidates_no_window_no_selfjoin(spark):
-    """Late-r3 candidate generation: with a bucket cap, the LSH pair stage
-    must build each (band, key) bucket's sorted capped id array in ONE
-    keyed aggregation and explode pairs in-row — the plan contains NO
-    Window node (the old row_number cap) and NO join (the old bands⨝bands
-    self-join), and exactly two keyed exchanges end-to-end from the
-    signature relation: the bucket groupBy and the pair distinct.  At
-    100 TB the removed self-join was a second full shuffle + join build
-    over the band relation (docs × bands rows).  The signature relation is
-    synthetic (spark.range) so the asserted plan is exactly the candidate
-    stage — the pages fixture derivation itself contains a geocode join."""
+def test_capped_lsh_candidates_no_selfjoin_single_bucket_exchange(spark):
+    """Late-r3 candidate generation (_bucket_pairs): with a bucket cap,
+    the LSH pair stage streams the cap through a row_number window
+    (spillable — bounded buffers even on a million-member boilerplate
+    bucket), collects the ≤cap survivors REUSING the window's hash
+    partitioning (no second bucket exchange), and explodes pairs in-row —
+    the plan contains NO join (the old bands⨝bands self-join) and exactly
+    two keyed exchanges end-to-end: the window/groupBy partitioning and
+    the pair distinct.  The signature relation is synthetic (spark.range)
+    so the asserted plan is exactly the candidate stage — the pages
+    fixture derivation itself contains a geocode join."""
     sigs = spark.range(64).selectExpr(
         "cast(id as string) as id", *[f"id * {b + 3} as m{b}" for b in range(64)]
     )
     p = _plan(dd.lsh_candidates(sigs, max_bucket=8))
-    assert "Window" not in p
     assert "Join" not in p  # no SortMergeJoin/BroadcastHashJoin/ShuffledHashJoin
-    # bucket groupBy exchange + pair distinct exchange, nothing else
+    # window+groupBy shared exchange + pair distinct exchange, nothing else
     assert _keyed_shuffles(p) == 2
 
 
