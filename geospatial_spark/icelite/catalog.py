@@ -265,6 +265,56 @@ def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
     )
 
 
+def partitions_for_range(
+    man: dict[str, Any], lo: int, hi: int
+) -> list[tuple[int, str]]:
+    """(partition_id, batch) of committed partitions whose
+    [key_min, key_max] lineage bounds overlap [lo, hi] — the manifest-side
+    half of the cell-range pruning contract (empty partitions carry NULL
+    bounds and never match)."""
+    sel = []
+    for rec in man["partitions"]:
+        kmin, kmax = rec.get("key_min"), rec.get("key_max")
+        if kmin is None or kmax is None:
+            continue
+        if kmax >= lo and kmin <= hi:
+            sel.append((rec["partition_id"], rec["batch"]))
+    return sel
+
+
+def read_range(
+    spark: SparkSession, root: str, table: str, lo: int, hi: int
+) -> DataFrame:
+    """Cell-range read using the per-partition lineage bounds as a
+    file-pruning index — the payoff of range-partitioning on the
+    Hilbert-ordered S2 id space (north star: contiguous id ranges are
+    spatially contiguous).  Only partitions whose committed
+    [key_min, key_max] overlaps [lo, hi] are listed; ``__batch``/``__pid``
+    are partition columns, so the isin filters prune at file-listing time
+    and non-overlapping partition directories are never opened.  The exact
+    residual key predicate then applies on the survivors."""
+    man = current_manifest(root, table)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest for {table} under {root}")
+    key_col = man["key_col"]
+    sel = partitions_for_range(man, lo, hi)
+    base = spark.read.parquet(_data_dir(root, table))
+    if not sel:
+        return base.filter(F.lit(False)).drop("__batch", "__pid")
+    pids = sorted({p for p, _ in sel})
+    batches = sorted({b for _, b in sel if b})
+    key = F.col(key_col).cast("bigint")
+    return (
+        base.filter(
+            F.col("__batch").isin(batches)
+            & F.col("__pid").isin(pids)
+            & (key >= F.lit(int(lo)))
+            & (key <= F.lit(int(hi)))
+        )
+        .drop("__batch", "__pid")
+    )
+
+
 def lineage(spark: SparkSession, root: str, table: str) -> DataFrame:
     """The lineage/metrics table as a DataFrame (from the manifest)."""
     man = current_manifest(root, table)

@@ -178,3 +178,45 @@ def test_range_bounds_persisted_on_resume(spark, workdir):
     assert lin[2]["key_min"] > 250
     total = sum(r["row_count"] for r in lin.values())
     assert total == df.count()
+
+
+def test_read_range_prunes_partitions(spark, workdir):
+    """Range-partitioned table: a narrow key-range read must (a) return
+    exactly the rows a full-scan filter returns, (b) select a strict
+    subset of partitions from the manifest bounds, and (c) push the
+    partition-id filter into the scan's PartitionFilters (file-listing
+    pruning — non-overlapping partition dirs are never opened)."""
+    import contextlib
+    import io
+
+    df = _src(spark)
+    bounds = [100, 200, 300]  # 4 range partitions over doc_id
+    ice.write_partitioned(
+        df, workdir, "rng", stage="s1", key_col="key",
+        range_bounds=bounds, batch_size=2,
+    )
+    man = ice.current_manifest(workdir, "rng")
+    lo, hi = 120, 180  # entirely inside partition 1 (101..200)
+    sel = ice.partitions_for_range(man, lo, hi)
+    assert sel, "no partitions selected"
+    assert len({p for p, _ in sel}) < man["n_partitions"]
+
+    pruned = ice.read_range(spark, workdir, "rng", lo, hi)
+    full = ice.read_table(spark, workdir, "rng").filter(
+        (F.col("key") >= lo) & (F.col("key") <= hi)
+    )
+    got = sorted(pruned.collect(), key=lambda r: r["doc_id"])
+    want = sorted(full.collect(), key=lambda r: r["doc_id"])
+    assert got == want and len(got) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("__pid" in l for l in part_lines), plan
+
+    # an empty range (no overlapping bounds) returns zero rows, same schema
+    empty = ice.read_range(spark, workdir, "rng", 10_000_000, 20_000_000)
+    assert empty.count() == 0
+    assert empty.columns == pruned.columns
