@@ -95,6 +95,41 @@ def knn_join_broadcast(
     )
 
 
+def knn_join_cellring_planned(
+    points_df: DataFrame,
+    neighbors_df: DataFrame,
+    k: int = 5,
+    lat: str = "lat",
+    lon: str = "lon",
+    n_lat: str = "lat",
+    n_lon: str = "lon",
+    name: str = "name",
+) -> DataFrame:
+    """Cell-ring kNN with (precision, max_ring) chosen by the planner from
+    the neighbor-set density (plans.planner.choose_knn_params: coarse
+    enough that the expected ring population covers ≥ 4k candidates, fine
+    enough to bound the candidate join).  One count on the neighbor side;
+    the driver's `knn_cellring` query pins (p2, ring 3) for oracle
+    stability — this wrapper is the production entry point where the
+    neighbor table is data, not a fixture."""
+    from ..plans import planner
+
+    n = neighbors_df.count()
+    precision, max_ring = planner.choose_knn_params(n, k)
+    return knn_join_cellring(
+        points_df,
+        neighbors_df,
+        k=k,
+        precision=precision,
+        max_ring=max_ring,
+        lat=lat,
+        lon=lon,
+        n_lat=n_lat,
+        n_lon=n_lon,
+        name=name,
+    )
+
+
 def knn_join_cellring(
     points_df: DataFrame,
     neighbors_df: DataFrame,

@@ -63,3 +63,29 @@ def test_force_strategy_still_derives_salt(spark):
     )
     assert plan.strategy == "shuffle"
     assert plan.salt >= 1 and plan.heavy_cell_rows < 1 << 62
+
+
+def test_knn_cellring_planned_agrees_with_exact(spark):
+    """The planner-parameterized cell-ring kNN (knn_join_cellring_planned —
+    precision/ring derived from neighbor density, the production entry
+    point) must agree exactly with the brute-force baseline on the
+    fixture: the chosen ring window covers every true 5th neighbor."""
+    from geospatial_spark.operators import knn as knn_ops
+    from geospatial_spark.sources import constants as C
+    from geospatial_spark.sources import pages as src
+
+    SF = "/root/testdata/sf0.001"
+    pts = (
+        src.extract_points(src.pages(spark, SF), src.gazetteer(spark))
+        .select("url", "entity", "lat", "lon")
+        .distinct()
+    )
+    gaz_rows = [(n, la, lo) for _, n, la, lo, _ in C.gazetteer_rows()]
+    keys = ["url", "entity", "neighbor_name", "rank"]
+    exact = knn_ops.knn_join_broadcast(pts, gaz_rows, k=5).select(*keys)
+    planned = knn_ops.knn_join_cellring_planned(
+        pts, src.gazetteer(spark).select("name", "lat", "lon"), k=5
+    ).select(*keys)
+    n_exact = exact.count()
+    assert planned.count() == n_exact
+    assert planned.join(exact, keys).count() == n_exact
