@@ -70,6 +70,18 @@ def write_polygon_cells_bucketed(
     write_bucketed(cells, table, "cell", n_buckets)
 
 
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, str]:
+    """(num buckets, bucket columns) from the catalog — DESCRIBE FORMATTED
+    rows `Num Buckets` / `Bucket Columns`."""
+    n, cols = 0, ""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r["col_name"] == "Num Buckets":
+            n = int(r["data_type"])
+        elif r["col_name"] == "Bucket Columns":
+            cols = r["data_type"]
+    return n, cols
+
+
 def pip_join_bucketed(
     spark: SparkSession,
     points_table: str,
@@ -81,7 +93,18 @@ def pip_join_bucketed(
 ) -> DataFrame:
     """Zero-exchange PIP join over two co-bucketed tables: cell equi-join
     (bucket-local) + exact Arrow PIP refine.  Row-identical to
-    pip_join(strategy='shuffle', salt=1) on the same inputs."""
+    pip_join(strategy='shuffle', salt=1) on the same inputs.
+
+    Raises if the two tables' bucket specs differ — Spark would otherwise
+    silently insert an Exchange (or fall back to an unbucketed scan) and
+    the whole point of the co-located layout would quietly evaporate."""
+    pn, pc = _bucket_spec(spark, points_table)
+    cn, cc = _bucket_spec(spark, cells_table)
+    if pn == 0 or cn == 0 or pn != cn or pc != cc or "cell" not in pc:
+        raise ValueError(
+            f"co-located join requires matching cell bucket specs: "
+            f"{points_table}=({pn}, {pc}) vs {cells_table}=({cn}, {cc})"
+        )
     pts = spark.table(points_table)
     cells = spark.table(cells_table)
     out_cols = (

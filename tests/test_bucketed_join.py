@@ -64,3 +64,14 @@ def test_bucketed_pip_join_zero_exchange(spark, bucketed_tables):
         point_cols=("url", "entity", "lat", "lon"),
     ).count()
     assert n == expect == 9803
+
+
+def test_bucket_spec_mismatch_raises(spark, bucketed_tables):
+    pts_t, _ = bucketed_tables
+    pts = src.extract_points(src.pages(spark, SF), src.gazetteer(spark))
+    colocate.write_points_bucketed(pts, "t_pts_b16", n_buckets=16, precision=4)
+    try:
+        with pytest.raises(ValueError, match="matching cell bucket specs"):
+            colocate.pip_join_bucketed(spark, "t_pts_b16", bucketed_tables[1])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pts_b16")
