@@ -195,18 +195,32 @@ def write_partitioned(
                 f"injected failure after data write of batch {bi}, before "
                 "manifest swap (crash-window resume test)"
             )
-        stats = (
-            part.groupBy("__pid")
-            .agg(
-                F.count(F.lit(1)).alias("row_count"),
-                F.min(F.col(key_col).cast("bigint")).alias("key_min"),
-                F.max(F.col(key_col).cast("bigint")).alias("key_max"),
-                F.expr(
-                    "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
-                ).alias("checksum"),
+        # stats are computed by READING BACK the files just written, not by
+        # re-evaluating the input lineage: read_range treats (key_min,
+        # key_max) as a correctness-bearing pruning index, and a
+        # nondeterministic source (unseeded sample, mutated upstream files)
+        # re-evaluated for a second stats job could record bounds that
+        # disagree with the committed data — silently dropping rows from
+        # pruned reads.  The read-back scans only this batch's partition
+        # directory (freshly written, page-cache warm).
+        batch_dir = f"{_data_dir(root, table)}/__batch={bname}"
+        if os.path.isdir(batch_dir):
+            written = df.sparkSession.read.parquet(batch_dir)
+            stats = (
+                written.groupBy("__pid")
+                .agg(
+                    F.count(F.lit(1)).alias("row_count"),
+                    F.min(F.col(key_col).cast("bigint")).alias("key_min"),
+                    F.max(F.col(key_col).cast("bigint")).alias("key_max"),
+                    F.expr(
+                        "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+                    ).alias("checksum"),
+                )
+                .collect()
             )
-            .collect()
-        )
+        else:
+            # every pid in this batch was empty: partitionBy wrote no files
+            stats = []
         now = time.time()
         by_pid = {r["__pid"]: r for r in stats}
         for p in batch:
@@ -298,9 +312,14 @@ def read_range(
         raise FileNotFoundError(f"no committed manifest for {table} under {root}")
     key_col = man["key_col"]
     sel = partitions_for_range(man, lo, hi)
-    base = spark.read.parquet(_data_dir(root, table))
     if not sel:
-        return base.filter(F.lit(False)).drop("__batch", "__pid")
+        # schema-stable empty result straight from the manifest — no
+        # filesystem touch (an all-empty committed table has a manifest
+        # but may have no parquet files at all)
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromDDL(man["schema"]))
+    base = spark.read.parquet(_data_dir(root, table))
     pids = sorted({p for p, _ in sel})
     batches = sorted({b for _, b in sel if b})
     key = F.col(key_col).cast("bigint")

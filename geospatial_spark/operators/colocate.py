@@ -100,7 +100,10 @@ def pip_join_bucketed(
     the whole point of the co-located layout would quietly evaporate."""
     pn, pc = _bucket_spec(spark, points_table)
     cn, cc = _bucket_spec(spark, cells_table)
-    if pn == 0 or cn == 0 or pn != cn or pc != cc or "cell" not in pc:
+    # the bucket column list must be EXACTLY [`cell`] — a substring test
+    # would accept e.g. `cell_salted`, where the join key is not the bucket
+    # key and Spark silently exchanges both sides anyway
+    if pn == 0 or pn != cn or pc != "[`cell`]" or cc != "[`cell`]":
         raise ValueError(
             f"co-located join requires matching cell bucket specs: "
             f"{points_table}=({pn}, {pc}) vs {cells_table}=({cn}, {cc})"

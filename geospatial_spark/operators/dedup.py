@@ -177,7 +177,14 @@ def _bucket_pairs(rel: DataFrame, keys: list[str], val, cap: int) -> DataFrame:
         .agg(F.sort_array(F.collect_list(val)).alias("__ms"))
         .filter(F.size("__ms") >= 2)
     )
-    pos = buckets.select("__ms", F.posexplode("__ms").alias("__i", "a"))
+    return _pairs_from_sorted_arrays(buckets, "__ms")
+
+
+def _pairs_from_sorted_arrays(buckets: DataFrame, arr_col: str) -> DataFrame:
+    """(a, b) ordered pairs exploded in-row from each bucket's sorted
+    member array — the shared C(m,2) tail of _bucket_pairs and
+    dedup_ngram's uncapped exact path."""
+    pos = buckets.select(F.col(arr_col).alias("__ms"), F.posexplode(arr_col).alias("__i", "a"))
     return pos.select(
         "a",
         F.explode(
@@ -554,14 +561,9 @@ def dedup_ngram(
             .agg(F.sort_array(F.collect_list("id")).alias("ids"))
             .filter(F.size("ids") >= 2)
         )
-        pos = buckets.select("ids", F.posexplode("ids").alias("i", "id_a"))
         cand = (
-            pos.select(
-                "id_a",
-                F.explode(
-                    F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
-                ).alias("id_b"),
-            )
+            _pairs_from_sorted_arrays(buckets, "ids")
+            .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
             .distinct()
         )
     return _jaccard_join(cand, arrs.select("id", "arr", "n"), threshold_ppm).select(

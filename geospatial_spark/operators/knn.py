@@ -111,7 +111,15 @@ def knn_join_cellring_planned(
     enough to bound the candidate join).  One count on the neighbor side;
     the driver's `knn_cellring` query pins (p2, ring 3) for oracle
     stability — this wrapper is the production entry point where the
-    neighbor table is data, not a fixture."""
+    neighbor table is data, not a fixture.
+
+    Caveat (inherited from knn_join_cellring and worth repeating because
+    the planner uses GLOBAL average density): a spatially clustered
+    neighbor set makes points in sparse regions return fewer than k rows
+    — the ring window around e.g. an Australian point over a Europe-only
+    neighbor table can be empty, with no error.  For skewed neighbor
+    geography use knn_join_broadcast (small sets) or pass explicit
+    coarser (precision, max_ring) to knn_join_cellring."""
     from ..plans import planner
 
     n = neighbors_df.count()

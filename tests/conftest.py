@@ -13,6 +13,9 @@ TABLES = (
 ).split()
 
 
+_WAREHOUSE = f"/tmp/geospatial_spark_warehouse_{os.getpid()}"
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = (
@@ -25,15 +28,17 @@ def spark():
         # bucketed-table tests (test_bucketed_join.py) saveAsTable here;
         # keep the warehouse out of the repo checkout, pid-suffixed so two
         # concurrent pytest sessions never overwrite each other's tables
-        .config(
-            "spark.sql.warehouse.dir",
-            f"/tmp/geospatial_spark_warehouse_{os.getpid()}",
-        )
+        .config("spark.sql.warehouse.dir", _WAREHOUSE)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     yield s
     s.stop()
+    # don't leak a warehouse dir per pytest run (tables left behind when a
+    # test fails before its DROP TABLE teardown included)
+    import shutil
+
+    shutil.rmtree(_WAREHOUSE, ignore_errors=True)
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:

@@ -67,11 +67,18 @@ def test_bucketed_pip_join_zero_exchange(spark, bucketed_tables):
 
 
 def test_bucket_spec_mismatch_raises(spark, bucketed_tables):
-    pts_t, _ = bucketed_tables
-    pts = src.extract_points(src.pages(spark, SF), src.gazetteer(spark))
-    colocate.write_points_bucketed(pts, "t_pts_b16", n_buckets=16, precision=4)
+    """The guard only reads catalog metadata, so a 1-row synthetic table
+    with a different bucket count (and one bucketed on a cell-ish but
+    wrong column) is enough — no need to rebuild the point corpus."""
+    tiny = spark.range(1).selectExpr("id as cell", "id as v")
+    colocate.write_bucketed(tiny, "t_tiny_b16", "cell", 16)
+    tiny2 = spark.range(1).selectExpr("id as cell_salted", "id as cell", "id as v")
+    colocate.write_bucketed(tiny2, "t_tiny_wrongcol", "cell_salted", 8)
     try:
         with pytest.raises(ValueError, match="matching cell bucket specs"):
-            colocate.pip_join_bucketed(spark, "t_pts_b16", bucketed_tables[1])
+            colocate.pip_join_bucketed(spark, "t_tiny_b16", bucketed_tables[1])
+        with pytest.raises(ValueError, match="matching cell bucket specs"):
+            colocate.pip_join_bucketed(spark, "t_tiny_wrongcol", bucketed_tables[1])
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_pts_b16")
+        spark.sql("DROP TABLE IF EXISTS t_tiny_b16")
+        spark.sql("DROP TABLE IF EXISTS t_tiny_wrongcol")
