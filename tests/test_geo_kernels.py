@@ -294,3 +294,32 @@ def test_polyline_roundtrip6():
     coords = [[2.3522, 48.8566], [2.2945, 48.8584], [-0.1278, 51.5074]]
     enc = pl.encode(coords, precision=6)
     assert pl.decode(enc, precision=6) == coords
+
+
+def test_clip_convex_concave_subject_disconnected_intersection():
+    """Sutherland–Hodgman's subject may be CONCAVE (only the clip must be
+    convex): a U-shaped subject clipped by a band across its two arms has
+    a DISCONNECTED true intersection; S-H emits one ring with degenerate
+    bridging edges whose shoelace contributions cancel, so the planar area
+    equals the sum of the pieces.  This pins the kernel's real U10
+    breadth: any-polygon ∩ convex-polygon area reporting, not just
+    convex ∩ convex."""
+    import numpy as np
+
+    from geospatial_spark.geo import geom as gm
+
+    u_shape = np.array(
+        [(0, 0), (6, 0), (6, 5), (4, 5), (4, 2), (2, 2), (2, 5), (0, 5), (0, 0)],
+        dtype=np.float64,
+    )
+    band = np.array(
+        [(-1, 3), (7, 3), (7, 4), (-1, 4), (-1, 3)], dtype=np.float64
+    )
+    out = gm.clip_ring_convex(u_shape, band)
+    assert out is not None
+    # two 2x1 arm slices -> total area 4
+    assert abs(abs(gm.ring_area_planar(out)) - 4.0) < 1e-9
+    # and the reversed (CW) clip orientation gives the same result
+    out2 = gm.clip_ring_convex(u_shape, band[::-1].copy())
+    assert out2 is not None
+    assert abs(abs(gm.ring_area_planar(out2)) - 4.0) < 1e-9
