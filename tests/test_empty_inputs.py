@@ -51,3 +51,28 @@ def test_operators_handle_empty_inputs(spark):
         == 0
     )
     assert knn_ops.knn_join_broadcast(empty_pts, [("x", 0.0, 0.0)], k=5).count() == 0
+
+
+def test_operators_handle_adversarial_text(spark):
+    """NULL text, whitespace-only, sub-gram-length, unicode, CJK (no ascii
+    tokens), and a 25k-char doc all flow through the dedup/textstats
+    families without raising; the one genuine duplicate pair (u8/u9) is
+    found by every scheme."""
+    rows = [
+        ("u1", None),
+        ("u2", ""),
+        ("u3", "  "),
+        ("u4", "héllo wörld héllo wörld naïve café désert über"),
+        ("u5", "a"),
+        ("u6", "word " * 5000),
+        ("u7", "你好世界 你好"),
+        ("u8", "normal text with some words repeated words repeated words"),
+        ("u9", "normal text with some words repeated words repeated words"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    assert dd.dedup_exact(df).count() == 1
+    assert dd.dedup_minhash(df, max_bucket=8).count() == 1
+    assert dd.dedup_simhash(df, max_bucket=8).count() == 1
+    assert dd.dedup_ngram(df, max_block=16).count() == 1
+    assert ts.text_quality(df, id_col="url").count() == len(rows)
+    assert ts.repetition_stats(df, id_col="url").count() == 4
