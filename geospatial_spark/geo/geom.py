@@ -398,6 +398,53 @@ def clip_ring_to_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray | 
     return arr
 
 
+def split_ring_antimeridian(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a (lon, lat) ring that crosses the antimeridian into valid
+    [-180, 180] pieces.
+
+    A ring written naively across ±180 (consecutive lon jump > 180°) is
+    formally invalid GeoJSON (RFC 7946 §3.1.9 requires splitting) and, in
+    planar semantics — OURS and the reference's Shapely-backed planar
+    model alike — its bbox spans nearly the whole longitude band, so
+    polyfill/pip silently cover the globe-width band (measured: 512 cells
+    instead of 4 at p3).  Callers feeding dateline geometries apply this
+    first: lons are unwrapped to a continuous frame (shift crossing
+    deltas by ±360), the unwrapped ring is clipped to the [-180, 180] and
+    [180, 540) (or mirrored) windows with the standard S-H rect clip, and
+    the out-of-frame piece shifts back by ∓360.  Non-crossing rings
+    return unchanged as a single piece."""
+    r = np.asarray(ring, dtype=np.float64)
+    lon = r[:, 0].copy()
+    # unwrap: accumulate ±360 shifts whenever a step jumps more than 180
+    shift = 0.0
+    for i in range(1, len(lon)):
+        d = lon[i] + shift - lon[i - 1]
+        if d > 180.0:
+            shift -= 360.0
+        elif d < -180.0:
+            shift += 360.0
+        lon[i] += shift
+    lo, hi = lon.min(), lon.max()
+    # a closed crossing ring unwinds its cumulative shift back to 0, so the
+    # crossing test is the unwrapped RANGE leaving [-180, 180], never the
+    # final shift value
+    if lo >= -180.0 and hi <= 180.0:
+        return [r]
+    unwrapped = np.column_stack([lon, r[:, 1]])
+    pieces = []
+    # clip the unwrapped ring against each 360°-frame window it touches
+    first_frame = int(np.floor((lo + 180.0) / 360.0))
+    last_frame = int(np.floor((hi + 180.0) / 360.0))
+    for f in range(first_frame, last_frame + 1):
+        w0, w1 = -180.0 + 360.0 * f, 180.0 + 360.0 * f
+        piece = clip_ring_to_rect(unwrapped, w0, -90.0, w1, 90.0)
+        if piece is not None:
+            piece = piece.copy()
+            piece[:, 0] -= 360.0 * f
+            pieces.append(piece)
+    return pieces
+
+
 def buffer_ring_numpy(
     lat: float, lon: float, radius_m: float, n_vertices: int = 16
 ) -> np.ndarray:

@@ -323,3 +323,45 @@ def test_clip_convex_concave_subject_disconnected_intersection():
     out2 = gm.clip_ring_convex(u_shape, band[::-1].copy())
     assert out2 is not None
     assert abs(abs(gm.ring_area_planar(out2)) - 4.0) < 1e-9
+
+
+def test_split_ring_antimeridian():
+    """A ring written naively across ±180 polyfills the whole longitude
+    band in planar semantics (ours AND the reference's — measured 512
+    cells instead of 4 at p3); split_ring_antimeridian yields valid
+    [-180, 180] pieces whose union is the intended geometry."""
+    import numpy as np
+
+    from geospatial_spark.geo import polyfill as pf
+    from geospatial_spark.geo.geom import (
+        Geometry,
+        ring_area_planar,
+        split_ring_antimeridian,
+    )
+
+    ring = np.array(
+        [(179.0, 10.0), (-179.0, 10.0), (-179.0, 12.0), (179.0, 12.0), (179.0, 10.0)]
+    )
+    pieces = split_ring_antimeridian(ring)
+    assert len(pieces) == 2
+    assert sorted(abs(ring_area_planar(p)) for p in pieces) == [2.0, 2.0]
+    for p in pieces:
+        assert p[:, 0].min() >= -180.0 and p[:, 0].max() <= 180.0
+    total = sum(
+        len(
+            pf.geohash_polyfill(
+                Geometry(geom_type="Polygon", parts=[[p]]), 3, "intersects"
+            )
+        )
+        for p in pieces
+    )
+    assert total == 4  # the naive unsplit ring covers 512 cells
+
+    # non-crossing ring: unchanged, single piece
+    ring2 = np.array([(10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0), (10.0, 10.0)])
+    assert len(split_ring_antimeridian(ring2)) == 1
+
+    # ring expressed entirely in 181..183-space normalizes into frame
+    ring3 = np.array([(181.0, 10.0), (183.0, 10.0), (183.0, 12.0), (181.0, 12.0), (181.0, 10.0)])
+    (p3,) = split_ring_antimeridian(ring3)
+    assert p3[:, 0].min() == -179.0 and p3[:, 0].max() == -177.0
