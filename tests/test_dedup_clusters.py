@@ -71,3 +71,26 @@ def test_pointer_jumping_converges_on_long_path(spark):
     got = {r["id"]: r["cluster"] for r in dd.dedup_clusters(pairs_df, max_iter=10).collect()}
     assert set(got.values()) == {"n00"}
     assert len(got) == 40
+
+
+def test_bucket_pairs_mega_bucket_streams_through_cap(spark):
+    """The 100 TB guard in practice: a single 200k-member bucket (the
+    boilerplate-cluster regime) must stream through the row_number cap —
+    bounded buffers, exactly C(cap, 2) pairs, seconds not minutes.  A
+    collect-then-slice cap would materialize the full 200k-element array
+    in one aggregation buffer before dropping it (the reverted late-r3
+    formulation)."""
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.operators import dedup as dd
+
+    rel = spark.range(200_000).select(
+        F.lit(0).alias("band"),
+        F.lit(7).alias("key"),
+        F.format_string("doc%09d", F.col("id")).alias("id"),
+    )
+    pairs = dd._bucket_pairs(rel, ["band", "key"], "id", 8)
+    assert pairs.count() == 28  # C(8,2)
+    # keep-set is the 8 smallest ids, so every pair stays inside them
+    mx = pairs.agg(F.max("b")).collect()[0][0]
+    assert mx == "doc%09d" % 7
