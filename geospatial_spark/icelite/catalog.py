@@ -46,6 +46,22 @@ LINEAGE_SCHEMA = (
 )
 
 
+def _assert_local_root(root: str) -> None:
+    """icelite's manifest protocol is LOCAL-filesystem only (os.rename
+    atomic swaps, os.listdir batch GC, and — correctness-bearing — the
+    post-write stats read-back that guards read_range's pruning bounds).
+    On a remote FS the ``os.path.isdir(batch_dir)`` check would silently
+    miss a non-empty batch and record row_count 0 / NULL key bounds, and
+    read_range would then prune committed rows.  Fail loudly instead; a
+    real cluster binds these call sites to an actual Iceberg catalog."""
+    if "://" in root:
+        raise NotImplementedError(
+            f"icelite supports local filesystem paths only, got {root!r}: "
+            "manifest swap/GC/stats read-back use os.* primitives; bind to "
+            "a real Iceberg catalog for remote storage"
+        )
+
+
 def _meta_dir(root: str, table: str) -> str:
     return os.path.join(root, table, "metadata")
 
@@ -55,6 +71,7 @@ def _data_dir(root: str, table: str) -> str:
 
 
 def current_manifest(root: str, table: str) -> dict[str, Any] | None:
+    _assert_local_root(root)
     vfile = os.path.join(_meta_dir(root, table), "VERSION")
     if not os.path.exists(vfile):
         return None
@@ -118,6 +135,7 @@ def write_partitioned(
     the manifest and REUSED on resume, so a rerun whose recomputed bounds
     drift can never mis-assign rows relative to committed partitions.
     """
+    _assert_local_root(root)
     man = current_manifest(root, table)
     if man is not None:
         # resume guard (round-2 advice): the committed partitioning is the

@@ -70,15 +70,40 @@ def write_polygon_cells_bucketed(
     write_bucketed(cells, table, "cell", n_buckets)
 
 
-def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, str]:
-    """(num buckets, bucket columns) from the catalog — DESCRIBE FORMATTED
-    rows `Num Buckets` / `Bucket Columns`."""
-    n, cols = 0, ""
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, tuple[str, ...]]:
+    """(num buckets, bucket column names) for `table`, read structurally
+    from the session catalog's CatalogTable.bucketSpec via the JVM (round-3
+    advice: the previous DESCRIBE FORMATTED display-string parse breaks on
+    any formatting change).  Unbucketed tables return (0, ()).
+
+    The DESCRIBE FORMATTED parse is kept only as a fallback for catalog
+    implementations without a py4j-reachable SessionCatalog; it is pinned
+    to the display format of Spark 3.x/4.x (`Num Buckets` / "[`cell`]").
+    Both routes fail CLOSED: a spec that cannot be read comes back as
+    n=0 and pip_join_bucketed raises."""
+    try:
+        jss = spark._jsparkSession.sessionState()
+        ident = jss.sqlParser().parseTableIdentifier(table)
+        meta = jss.catalog().getTableMetadata(ident)
+        bs = meta.bucketSpec()
+        if not bs.isDefined():
+            return 0, ()
+        b = bs.get()
+        # Scala Seq[String] → one py4j call: NUL-join (NUL is illegal in
+        # SQL identifiers, so the split is unambiguous)
+        cols = tuple(str(b.bucketColumnNames().mkString("\x00")).split("\x00"))
+        return int(b.numBuckets()), cols
+    except Exception:
+        pass
+    n, cols_s = 0, ""
     for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
         if r["col_name"] == "Num Buckets":
             n = int(r["data_type"])
         elif r["col_name"] == "Bucket Columns":
-            cols = r["data_type"]
+            cols_s = r["data_type"]
+    cols = tuple(
+        c.strip().strip("`") for c in cols_s.strip("[]").split(",") if c.strip()
+    )
     return n, cols
 
 
@@ -100,10 +125,10 @@ def pip_join_bucketed(
     the whole point of the co-located layout would quietly evaporate."""
     pn, pc = _bucket_spec(spark, points_table)
     cn, cc = _bucket_spec(spark, cells_table)
-    # the bucket column list must be EXACTLY [`cell`] — a substring test
+    # the bucket column list must be EXACTLY ("cell",) — a substring test
     # would accept e.g. `cell_salted`, where the join key is not the bucket
     # key and Spark silently exchanges both sides anyway
-    if pn == 0 or pn != cn or pc != "[`cell`]" or cc != "[`cell`]":
+    if pn == 0 or pn != cn or pc != ("cell",) or cc != ("cell",):
         raise ValueError(
             f"co-located join requires matching cell bucket specs: "
             f"{points_table}=({pn}, {pc}) vs {cells_table}=({cn}, {cc})"
