@@ -546,16 +546,20 @@ def _q_clip_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_clip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U10 CONVEX overlay (round-2 review item 4, ref gutils.py:532-600):
-    Sutherland–Hodgman clip of each region shell against the convex 16-gon
-    10 km buffer of every bbox-near gazetteer point — arbitrary half-planes,
-    i.e. clipped-geometry output beyond an axis-aligned window — reporting
-    the clipped ring's vertex count and exact e12-int intersection area
-    (NULLs when disjoint).  The candidate pairing is a broadcast bbox-margin
-    theta-join (both engines evaluate the identical margin expression); the
-    clip numbers come from the numpy kernel, mirrored in the oracle by a
-    VALUES map generated from the same kernel over the constant fixtures."""
+def _q_clip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10 GENERAL overlay (round-3 review item 1, ref gutils.py:532-600
+    how= intersection/union/difference): boolean-overlay area metrics of
+    the CONCAVE L-ring of each region bbox against BOTH the convex 16-gon
+    buffer and the CONCAVE 16-vertex star of every bbox-near gazetteer
+    point — intersection via ear-clip triangulation of the clip +
+    Sutherland–Hodgman per triangle (areas additive over a triangulation),
+    union/difference as closed forms over the exact intersection; exact
+    e12-int areas, NULLs when disjoint.  The candidate pairing is a
+    broadcast bbox-margin theta-join evaluated identically by both
+    engines; the overlay numbers come from the numpy kernel
+    (geo.geom.overlay_metrics), mirrored in the oracle by a VALUES map
+    generated from the same kernel over the constant fixtures.  The former
+    convex-only `clip_convex` entry is subsumed by mode='convex'."""
     m = osql.CLIP_CONVEX_MARGIN
     r = src.regions(spark).select("region_id", "minx", "miny", "maxx", "maxy", "geometry")
     g = src.gazetteer(spark).select("name", F.col("lat").alias("glat"), F.col("lon").alias("glon"))
@@ -567,12 +571,20 @@ def _q_clip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("glon") <= F.col("maxx") + m),
         "inner",
     )
-    clip = udfs.clip_convex_udf(osql.CLIP_CONVEX_RADIUS_M, 16)
-    return pairs.select(
-        "region_id",
-        "name",
-        clip(F.col("geometry"), F.col("glat"), F.col("glon")).alias("__c"),
-    ).select("region_id", "name", "__c.*")
+    parts = []
+    for mode in ("convex", "star"):
+        clip = udfs.clip_general_udf(
+            osql.CLIP_GENERAL_R_OUTER, osql.CLIP_GENERAL_R_INNER, 16, mode
+        )
+        parts.append(
+            pairs.select(
+                "region_id",
+                "name",
+                F.lit(mode).alias("mode"),
+                clip(F.col("geometry"), F.col("glat"), F.col("glon")).alias("__c"),
+            ).select("region_id", "name", "mode", "__c.*")
+        )
+    return parts[0].unionByName(parts[1])
 
 
 def _q_geojson_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,7 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrips": _q_compact_roundtrips,
         "flatten3d_stats": _q_flatten3d,
         "clip_bbox": _q_clip_bbox,
-        "clip_convex": _q_clip_convex,
+        "clip_general": _q_clip_general,
         "geojson_regions": _q_geojson_regions,
         "lineage_counts": _q_lineage_counts,
         "tile_to_cells": _q_tile_to_cells,
@@ -1201,16 +1213,20 @@ SELECT z, x, y,
 FROM tb"""
         ),
         "buffer_ring": _buffer_ring_oracle_sql(),
-        "clip_convex": G(
-            f""", {osql.clip_convex_values()},
-pairs AS (SELECT r.region_id, g.name FROM regions r JOIN gaz g
+        "clip_general": G(
+            f""", {osql.clip_general_values()},
+pairs AS (SELECT r.region_id, g.name, m.mode FROM regions r JOIN gaz g
           ON g.lat >= r.miny - {osql.CLIP_CONVEX_MARGIN!r}
          AND g.lat <= r.maxy + {osql.CLIP_CONVEX_MARGIN!r}
          AND g.lon >= r.minx - {osql.CLIP_CONVEX_MARGIN!r}
-         AND g.lon <= r.maxx + {osql.CLIP_CONVEX_MARGIN!r})
-SELECT p.region_id, p.name, CAST(cm.n_vertices AS INT) AS n_vertices,
-       CAST(cm.area_e12 AS BIGINT) AS area_e12
-FROM pairs p LEFT JOIN cm ON cm.region_id = p.region_id AND cm.name = p.name"""
+         AND g.lon <= r.maxx + {osql.CLIP_CONVEX_MARGIN!r}
+          CROSS JOIN (VALUES ('convex'), ('star')) m(mode))
+SELECT p.region_id, p.name, p.mode, CAST(cgm.n_pieces AS INT) AS n_pieces,
+       CAST(cgm.inter_e12 AS BIGINT) AS inter_e12,
+       CAST(cgm.union_e12 AS BIGINT) AS union_e12,
+       CAST(cgm.diff_e12 AS BIGINT) AS diff_e12
+FROM pairs p LEFT JOIN cgm ON cgm.region_id = p.region_id
+  AND cgm.name = p.name AND cgm.mode = p.mode"""
         ),
         "geojson_regions": G(
             f"""SELECT region_id,

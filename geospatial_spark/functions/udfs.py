@@ -563,32 +563,62 @@ def clip_rect_udf(wminx: float, wminy: float, wmaxx: float, wmaxy: float):
     return _clip
 
 
-def clip_convex_udf(radius_m: float = 10000.0, n_vertices: int = 16):
-    """U10 convex overlay (reference poverlay, gutils.py:532-600 scope):
-    clip the geometry's shell ring (parsed from WKB) against the convex
-    16-gon buffer of a point — Sutherland–Hodgman with arbitrary half-planes
-    (``geo.geom.clip_ring_convex``), i.e. clipped-geometry output beyond an
-    axis-aligned window.  Emits the clipped ring's vertex count and its
-    planar shoelace area as an exact e12 int (floor(|area_deg²|·1e12+0.5));
-    NULLs when disjoint.  All trig/clip math is numpy — the oracle's VALUES
-    map is generated by the same kernel, so parity is bit-exact."""
+def clip_general_udf(
+    r_outer_m: float, r_inner_m: float, n_vertices: int, mode: str
+):
+    """U10 GENERAL overlay (reference poverlay gutils.py:532-600, how=
+    intersection/union/difference — round-3 review item 1): boolean-overlay
+    AREA metrics of a CONCAVE subject against a convex or CONCAVE clip.
 
-    @pandas_udf("n_vertices int, area_e12 bigint")
+    The subject is the concave L-ring derived from the geometry's shell
+    bbox (``geo.geom.l_ring_from_bbox`` — bbox minus its top-right
+    quadrant, one reflex vertex); the clip is the convex 16-gon buffer
+    (``mode='convex'``) or the concave 16-vertex star
+    (``mode='star'``, alternating radii — 8 reflex vertices) of a point.
+    General path: ear-clip triangulation of the clip + Sutherland–Hodgman
+    per triangle, areas additive over the triangulation
+    (``geo.geom.overlay_metrics``); union/difference are closed forms over
+    the exact intersection.  Emits (n_pieces, inter_e12, union_e12,
+    diff_e12) as floor(x·1e12+0.5) ints; NULLs when disjoint.  The oracle's
+    VALUES map runs the SAME kernel over the constant fixtures, so parity
+    is bit-exact."""
+    if mode not in ("convex", "star"):
+        raise ValueError(f"clip_general_udf: unknown mode {mode!r}")
+
+    @pandas_udf("n_pieces int, inter_e12 bigint, union_e12 bigint, diff_e12 bigint")
     def _clip(wkb: pd.Series, glat: pd.Series, glon: pd.Series) -> pd.DataFrame:
         rows = []
         for buf, la, lo in zip(wkb, glat, glon):
             if buf is None:
-                rows.append((None, None))
+                rows.append((None, None, None, None))
                 continue
-            g = gm.parse_wkb(bytes(buf))
-            cr = gm.buffer_ring_numpy(float(la), float(lo), radius_m, n_vertices)
-            ring = gm.clip_ring_convex(g.parts[0][0], cr)
-            if ring is None:
-                rows.append((None, None))
+            shell = gm.parse_wkb(bytes(buf)).parts[0][0]
+            subj = gm.l_ring_from_bbox(
+                float(shell[:, 0].min()), float(shell[:, 1].min()),
+                float(shell[:, 0].max()), float(shell[:, 1].max()),
+            )
+            if mode == "convex":
+                clip = gm.buffer_ring_numpy(float(la), float(lo), r_outer_m, n_vertices)
             else:
-                area = abs(gm.ring_area_planar(ring))
-                rows.append((len(ring) - 1, int(np.floor(area * 1e12 + 0.5))))
-        return pd.DataFrame(rows, columns=["n_vertices", "area_e12"])
+                clip = gm.star_ring_numpy(
+                    float(la), float(lo), r_outer_m, r_inner_m, n_vertices
+                )
+            m = gm.overlay_metrics(subj, clip, convex_clip=(mode == "convex"))
+            if m is None:
+                rows.append((None, None, None, None))
+            else:
+                pieces, inter, uni, diff = m
+                rows.append(
+                    (
+                        pieces,
+                        int(np.floor(inter * 1e12 + 0.5)),
+                        int(np.floor(uni * 1e12 + 0.5)),
+                        int(np.floor(diff * 1e12 + 0.5)),
+                    )
+                )
+        return pd.DataFrame(
+            rows, columns=["n_pieces", "inter_e12", "union_e12", "diff_e12"]
+        )
 
     return _clip
 

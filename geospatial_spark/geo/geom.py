@@ -523,6 +523,176 @@ def clip_ring_convex(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | No
     return np.array(pts + [pts[0]], dtype=np.float64)
 
 
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clip triangulation of a SIMPLE polygon ring (possibly concave)
+    into a deterministic list of (3, 2) CCW triangles whose disjoint union
+    is the polygon — the route that extends ``clip_ring_convex`` to
+    arbitrary concave CLIP polygons (reference poverlay ``gutils.py:532``
+    supports concave∩concave; areas are additive over a triangulation).
+
+    Deterministic: the input is normalized to CCW, and each round clips the
+    FIRST valid ear in vertex order.  Exactly-collinear vertices are
+    dropped (zero-area ears change nothing).  Raises on non-simple input
+    (no ear found with ≥ 4 vertices left — by the two-ears theorem every
+    simple polygon has one)."""
+    pts = [tuple(p) for p in np.asarray(ring, dtype=np.float64)]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if len(pts) < 3:
+        return []
+    # normalize to CCW so "convex corner" == positive cross product
+    sa = sum(
+        pts[k][0] * pts[(k + 1) % len(pts)][1]
+        - pts[(k + 1) % len(pts)][0] * pts[k][1]
+        for k in range(len(pts))
+    )
+    if sa < 0:
+        pts = pts[::-1]
+
+    def cross(a, b, c) -> float:
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    def in_tri(p, a, b, c) -> bool:
+        # inclusive containment (boundary blocks the ear — conservative)
+        d1, d2, d3 = cross(a, b, p), cross(b, c, p), cross(c, a, p)
+        return d1 >= 0 and d2 >= 0 and d3 >= 0
+
+    idx = list(range(len(pts)))
+    tris: list[np.ndarray] = []
+    while len(idx) > 3:
+        n = len(idx)
+        clipped = False
+        # pass 1: drop an exactly-collinear vertex (zero-area ear)
+        for k in range(n):
+            a, b, c = pts[idx[k - 1]], pts[idx[k]], pts[idx[(k + 1) % n]]
+            if cross(a, b, c) == 0.0:
+                del idx[k]
+                clipped = True
+                break
+        if clipped:
+            continue
+        # pass 2: first strictly-convex vertex whose ear contains no other
+        # remaining vertex
+        for k in range(n):
+            ia, ib, ic = idx[k - 1], idx[k], idx[(k + 1) % n]
+            a, b, c = pts[ia], pts[ib], pts[ic]
+            if cross(a, b, c) <= 0.0:
+                continue  # reflex — not an ear
+            if any(
+                in_tri(pts[j], a, b, c)
+                for j in idx
+                if j not in (ia, ib, ic)
+            ):
+                continue
+            tris.append(np.array([a, b, c], dtype=np.float64))
+            del idx[k]
+            clipped = True
+            break
+        if not clipped:
+            raise ValueError("triangulate_ring: no ear found (non-simple ring?)")
+    a, b, c = pts[idx[0]], pts[idx[1]], pts[idx[2]]
+    if cross(a, b, c) != 0.0:
+        tris.append(np.array([a, b, c], dtype=np.float64))
+    return tris
+
+
+def star_ring_numpy(
+    lat: float,
+    lon: float,
+    r_outer_m: float,
+    r_inner_m: float,
+    n_vertices: int = 16,
+) -> np.ndarray:
+    """CONCAVE star polygon around a point: ``buffer_ring_numpy``'s
+    spherical destination math with the radius alternating outer/inner per
+    vertex (even vertices outer) — every inner vertex is reflex, so this is
+    the deterministic concave-clip fixture for the general overlay path."""
+    from . import distance as dist
+
+    theta = 2.0 * np.pi * np.arange(n_vertices, dtype=np.float64) / n_vertices
+    radius = np.where(
+        np.arange(n_vertices) % 2 == 0, float(r_outer_m), float(r_inner_m)
+    )
+    delta = radius / dist.EARTH_RADIUS_M
+    phi1 = math.radians(lat)
+    lam1 = math.radians(lon)
+    sin_phi2 = math.sin(phi1) * np.cos(delta) + math.cos(phi1) * np.sin(
+        delta
+    ) * np.cos(theta)
+    phi2 = np.arcsin(sin_phi2)
+    lam2 = lam1 + np.arctan2(
+        np.sin(theta) * np.sin(delta) * math.cos(phi1),
+        np.cos(delta) - math.sin(phi1) * sin_phi2,
+    )
+    ring = np.column_stack([np.degrees(lam2), np.degrees(phi2)])
+    return np.vstack([ring, ring[:1]])
+
+
+def l_ring_from_bbox(minx: float, miny: float, maxx: float, maxy: float) -> np.ndarray:
+    """Concave L-shaped ring from a bbox (the bbox minus its open top-right
+    quadrant) — the deterministic concave SUBJECT fixture; CCW, one reflex
+    vertex at the center."""
+    cx = minx + 0.5 * (maxx - minx)
+    cy = miny + 0.5 * (maxy - miny)
+    return np.array(
+        [
+            (minx, miny),
+            (maxx, miny),
+            (maxx, cy),
+            (cx, cy),
+            (cx, maxy),
+            (minx, maxy),
+            (minx, miny),
+        ],
+        dtype=np.float64,
+    )
+
+
+def overlay_metrics(
+    subject_ring: np.ndarray, clip_ring: np.ndarray, *, convex_clip: bool = False
+) -> tuple[int, float, float, float] | None:
+    """General simple-polygon boolean-overlay AREA metrics (reference
+    poverlay ``gutils.py:532-600`` how= intersection/union/difference):
+    ``(n_pieces, inter, union, diff)`` planar areas, or None when disjoint.
+
+    ``convex_clip=False`` (general path): ear-clip the clip ring into
+    triangles, Sutherland–Hodgman the (possibly concave) subject against
+    each convex triangle, sum |shoelace| — triangle interiors are disjoint,
+    so the sum is the exact intersection area; ``n_pieces`` counts
+    triangles with nonempty overlap.  ``convex_clip=True``: direct S-H
+    against the whole clip (must be convex), ``n_pieces`` = 1.
+
+    Union and difference are closed forms over already-exact quantities:
+    |A∪B| = |A| + |B| − |A∩B|, |A∖B| = |A| − |A∩B|.  The identical code
+    generates the oracle VALUES map, so engine parity is bit-exact."""
+    a_s = abs(ring_area_planar(np.asarray(subject_ring, dtype=np.float64)))
+    cr = np.asarray(clip_ring, dtype=np.float64)
+    if not np.array_equal(cr[0], cr[-1]):
+        cr = np.vstack([cr, cr[:1]])
+    a_c = abs(ring_area_planar(cr))
+    inter = 0.0
+    pieces = 0
+    if convex_clip:
+        out = clip_ring_convex(subject_ring, cr)
+        if out is not None:
+            ar = abs(ring_area_planar(out))
+            if ar > 0.0:
+                inter = ar
+                pieces = 1
+    else:
+        for tri in triangulate_ring(cr):
+            out = clip_ring_convex(subject_ring, np.vstack([tri, tri[:1]]))
+            if out is None:
+                continue
+            ar = abs(ring_area_planar(out))
+            if ar > 0.0:
+                inter += ar
+                pieces += 1
+    if inter <= 0.0:
+        return None
+    return pieces, inter, a_s + a_c - inter, a_s - inter
+
+
 def ring_area_planar(ring: np.ndarray) -> float:
     """Signed shoelace area (planar units of the ring's CRS)."""
     x = ring[:, 0]

@@ -246,23 +246,31 @@ def geom_stats_values() -> str:
     return f"gsm(region_id, area_fl, border_fl) AS (VALUES {', '.join(vals)})"
 
 
-# clip_convex query constants: 16-gon buffer radius and the conservative
-# bbox-prefilter margin (10 km ≈ 0.09° lat; 0.3° covers the lon stretch up
-# to |lat| 72°) — the margin expression is part of the query semantics and
-# mirrored verbatim in Spark and SQL.
-CLIP_CONVEX_RADIUS_M = 10000.0
+# clip_general query constants: the conservative bbox-prefilter margin
+# (10 km ≈ 0.09° lat; 0.3° covers the lon stretch up to |lat| 72°) — the
+# margin expression is part of the query semantics and mirrored verbatim
+# in Spark and SQL.
 CLIP_CONVEX_MARGIN = 0.3
 
 
+# general-overlay query constants: convex 16-gon radius (shared with
+# clip_convex history), concave-star outer/inner radii, and the same
+# conservative bbox-prefilter margin
+CLIP_GENERAL_R_OUTER = 10000.0
+CLIP_GENERAL_R_INNER = 6000.0
+
+
 @_functools.lru_cache(maxsize=None)
-def clip_convex_values() -> str:
-    """VALUES CTE body: (region_id, name, n_vertices, area_e12) — the
-    Sutherland–Hodgman convex clip of each region shell against the 16-gon
-    buffer of each bbox-near gazetteer point, computed by the LOCAL kernel
-    (geo.geom.clip_ring_convex over geo.geom.buffer_ring_numpy — both
-    sf-independent constant fixtures).  Pairs whose clip is empty are
-    omitted; the oracle LEFT JOIN surfaces them as NULLs, mirroring the
-    Spark UDF's NULL rows."""
+def clip_general_values() -> str:
+    """VALUES CTE body: (region_id, name, mode, n_pieces, inter_e12,
+    union_e12, diff_e12) — boolean-overlay area metrics of the concave
+    L-ring of each region bbox against BOTH clip shapes of each bbox-near
+    gazetteer point: the convex 16-gon buffer (mode 'convex', direct
+    Sutherland–Hodgman) and the concave 16-vertex star (mode 'star',
+    ear-clip triangulation + per-triangle S-H — geo.geom.overlay_metrics,
+    the SAME kernel the Spark UDF runs, so parity is bit-exact).  Disjoint
+    pairs are omitted; the oracle LEFT JOIN surfaces them as NULLs,
+    mirroring the UDF's NULL rows."""
     import numpy as np
 
     from ..geo import geom as gm
@@ -272,6 +280,10 @@ def clip_convex_values() -> str:
     for _i, rid, _cidx, minx, miny, maxx, maxy in C.region_rows():
         poly = gm.polygon([(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)])
         shell = gm.parse_wkb(gm.to_wkb(poly)).parts[0][0]
+        subj = gm.l_ring_from_bbox(
+            float(shell[:, 0].min()), float(shell[:, 1].min()),
+            float(shell[:, 0].max()), float(shell[:, 1].max()),
+        )
         for _gi, name, glat, glon, _pop in C.gazetteer_rows():
             if not (
                 glat >= miny - m
@@ -280,20 +292,28 @@ def clip_convex_values() -> str:
                 and glon <= maxx + m
             ):
                 continue
-            cr = gm.buffer_ring_numpy(glat, glon, CLIP_CONVEX_RADIUS_M, 16)
-            ring = gm.clip_ring_convex(shell, cr)
-            if ring is None:
-                continue
-            area = abs(gm.ring_area_planar(ring))
-            vals.append(
-                f"('{rid}', '{name}', {len(ring) - 1}, "
-                f"{int(np.floor(area * 1e12 + 0.5))})"
-            )
+            for mode in ("convex", "star"):
+                if mode == "convex":
+                    clip = gm.buffer_ring_numpy(glat, glon, CLIP_GENERAL_R_OUTER, 16)
+                else:
+                    clip = gm.star_ring_numpy(
+                        glat, glon, CLIP_GENERAL_R_OUTER, CLIP_GENERAL_R_INNER, 16
+                    )
+                met = gm.overlay_metrics(subj, clip, convex_clip=(mode == "convex"))
+                if met is None:
+                    continue
+                pieces, inter, uni, diff = met
+                vals.append(
+                    f"('{rid}', '{name}', '{mode}', {pieces}, "
+                    f"{int(np.floor(inter * 1e12 + 0.5))}, "
+                    f"{int(np.floor(uni * 1e12 + 0.5))}, "
+                    f"{int(np.floor(diff * 1e12 + 0.5))})"
+                )
     if not vals:
-        raise RuntimeError("clip_convex_values: empty kernel map")
+        raise RuntimeError("clip_general_values: empty kernel map")
     return (
-        "cm(region_id, name, n_vertices, area_e12) AS "
-        f"(VALUES {', '.join(vals)})"
+        "cgm(region_id, name, mode, n_pieces, inter_e12, union_e12, diff_e12) "
+        f"AS (VALUES {', '.join(vals)})"
     )
 
 

@@ -1,0 +1,145 @@
+"""General (concave∩concave) boolean-overlay kernel — round-3 review item 1:
+ear-clip triangulation of the clip polygon + convex Sutherland–Hodgman per
+triangle (geo.geom.triangulate_ring / overlay_metrics), the route that
+extends U10 beyond convex clips (reference poverlay gutils.py:532-600,
+how= intersection/union/difference)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geospatial_spark.geo import geom as gm
+
+
+def _ring_area(tri: np.ndarray) -> float:
+    return abs(gm.ring_area_planar(np.vstack([tri, tri[:1]])))
+
+
+def test_triangulation_partitions_area_l_shape():
+    L = gm.l_ring_from_bbox(0.0, 0.0, 4.0, 2.0)
+    tris = gm.triangulate_ring(L)
+    assert len(tris) == 4  # 6 vertices → n-2 triangles
+    assert sum(_ring_area(t) for t in tris) == pytest.approx(6.0, abs=1e-12)
+    # every triangle CCW (normalized orientation)
+    for t in tris:
+        assert gm.ring_area_planar(np.vstack([t, t[:1]])) > 0
+
+
+def test_triangulation_star_and_orientation_invariance():
+    S = gm.star_ring_numpy(48.0, 2.0, 10000.0, 6000.0, 16)
+    a = abs(gm.ring_area_planar(S))
+    tris = gm.triangulate_ring(S)
+    assert len(tris) == 14
+    assert sum(_ring_area(t) for t in tris) == pytest.approx(a, rel=1e-12)
+    # reversed (CW) input triangulates to the same total
+    tris_r = gm.triangulate_ring(S[::-1].copy())
+    assert sum(_ring_area(t) for t in tris_r) == pytest.approx(a, rel=1e-12)
+
+
+@given(
+    st.lists(st.floats(min_value=0.2, max_value=1.0), min_size=5, max_size=24),
+    st.floats(min_value=0.0, max_value=6.28),
+)
+@settings(max_examples=60, deadline=None)
+def test_triangulation_area_identity_random_star_shaped(radii, phase):
+    """Property (two-ears theorem + additivity): for any star-shaped simple
+    polygon (random radii around a center — arbitrarily concave), the
+    triangle areas sum to the shoelace area."""
+    n = len(radii)
+    th = phase + 2.0 * np.pi * np.arange(n) / n
+    r = np.asarray(radii)
+    ring = np.column_stack([r * np.cos(th), r * np.sin(th)])
+    ring = np.vstack([ring, ring[:1]])
+    a = abs(gm.ring_area_planar(ring))
+    tris = gm.triangulate_ring(ring)
+    assert sum(_ring_area(t) for t in tris) == pytest.approx(a, rel=1e-9)
+
+
+def test_overlay_general_equals_convex_path_on_convex_clip():
+    """VERDICT round-3 'done' condition: the triangulated general path must
+    agree with the direct convex S-H path on convex clip inputs."""
+    B = gm.buffer_ring_numpy(48.0, 2.0, 10000.0, 16)
+    for subj in (
+        np.array([(1.9, 47.9), (2.1, 47.9), (2.1, 48.1), (1.9, 48.1), (1.9, 47.9)]),
+        gm.l_ring_from_bbox(1.85, 47.9, 2.15, 48.1),  # concave subject
+    ):
+        mg = gm.overlay_metrics(subj, B, convex_clip=False)
+        mc = gm.overlay_metrics(subj, B, convex_clip=True)
+        assert mg is not None and mc is not None
+        for i in (1, 2, 3):  # inter, union, diff
+            assert mg[i] == pytest.approx(mc[i], rel=1e-9)
+
+
+def test_overlay_concave_concave_exact():
+    """Hand-computed concave∩concave: two L-shapes.
+    A = [0,2]² minus its top-right quadrant (area 3);
+    B = [1,3]×[0,2] minus its top-right quadrant (area 3).
+    A∩B = [1,2]×[0,1] (area 1) → union 5, diff 2."""
+    A = gm.l_ring_from_bbox(0.0, 0.0, 2.0, 2.0)
+    B = gm.l_ring_from_bbox(1.0, 0.0, 3.0, 2.0)
+    m = gm.overlay_metrics(A, B)
+    assert m is not None
+    pieces, inter, union, diff = m
+    assert inter == pytest.approx(1.0, abs=1e-12)
+    assert union == pytest.approx(5.0, abs=1e-12)
+    assert diff == pytest.approx(2.0, abs=1e-12)
+    assert pieces >= 1
+
+
+def test_overlay_disjoint_returns_none():
+    A = gm.l_ring_from_bbox(0.0, 0.0, 1.0, 1.0)
+    B = gm.star_ring_numpy(48.0, 2.0, 10000.0, 6000.0, 16)
+    assert gm.overlay_metrics(A, B) is None
+
+
+def test_overlay_grid_raster_reference():
+    """Independent approximate check (no shared kernel code): rasterize
+    the concave∩concave case on a fine grid with an even-odd PIP per cell
+    center and compare areas within grid tolerance."""
+    A = gm.l_ring_from_bbox(0.0, 0.0, 2.0, 2.0)
+    S = np.column_stack(
+        [
+            1.5 + np.array([0.9, 0.3, 0.9, 0.3, 0.9, 0.3, 0.9, 0.3])
+            * np.cos(2 * np.pi * np.arange(8) / 8),
+            1.0 + np.array([0.9, 0.3, 0.9, 0.3, 0.9, 0.3, 0.9, 0.3])
+            * np.sin(2 * np.pi * np.arange(8) / 8),
+        ]
+    )
+    S = np.vstack([S, S[:1]])
+    m = gm.overlay_metrics(A, S)
+    assert m is not None
+
+    def pip(px, py, ring):
+        x, y = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = np.roll(x, -1), np.roll(y, -1)
+        inside = np.zeros(px.shape, dtype=bool)
+        for k in range(len(x)):
+            cond = (y[k] > py) != (y2[k] > py)
+            xi = x[k] + (py - y[k]) / (y2[k] - y[k] + 1e-300) * (x2[k] - x[k])
+            inside ^= cond & (px < xi)
+        return inside
+
+    g = np.linspace(-0.05, 2.55, 640)
+    px, py = np.meshgrid(g, g)
+    cell = (g[1] - g[0]) ** 2
+    raster = float(np.sum(pip(px, py, A) & pip(px, py, S))) * cell
+    assert m[1] == pytest.approx(raster, abs=0.01)
+
+
+def test_star_ring_is_concave_and_simple():
+    S = gm.star_ring_numpy(10.0, 20.0, 10000.0, 6000.0, 16)
+    assert len(S) == 17
+    # concavity: at least one reflex vertex under CCW normalization
+    pts = S[:-1]
+    sa = gm.ring_area_planar(S)
+    sgn = 1.0 if sa > 0 else -1.0
+    crosses = []
+    for k in range(len(pts)):
+        a, b, c = pts[k - 1], pts[k], pts[(k + 1) % len(pts)]
+        crosses.append(
+            sgn * ((b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]))
+        )
+    assert sum(1 for c in crosses if c < 0) == 8  # the 8 inner vertices
