@@ -138,6 +138,197 @@ def knn_join_cellring_planned(
     )
 
 
+def knn_join_cellring_adaptive(
+    points_df: DataFrame,
+    neighbors_df: DataFrame,
+    k: int = 5,
+    precision: int = 2,
+    rings: tuple[int, ...] = (3, 7, 15),
+    lat: str = "lat",
+    lon: str = "lon",
+    n_lat: str = "lat",
+    n_lon: str = "lon",
+    name: str = "name",
+) -> DataFrame:
+    """EXACT kNN via per-point adaptive ring escalation — SURVEY §2.6 N2's
+    iterative design (round-3 review item 2: one global ring is either
+    wasteful in dense areas or incomplete in sparse ones at 100× skew).
+
+    Round r joins the still-unsatisfied points against neighbors within
+    Chebyshev ring ``rings[r]`` on the geohash integer grid (same pure-JVM
+    machinery as ``knn_join_cellring``), ranks by exact haversine, and
+    KEEPS a point iff its k-th candidate provably beats every neighbor
+    outside the ring: ``kth_dist < g(ring, lat)`` where the guarantee
+    radius is the conservative lower bound on the distance from the point
+    to anything outside the ring block,
+
+        g = R · min( ring · s_lat,
+                     asin( cos(φ_p) · sin(min(ring · s_lon, π/2)) ) )
+
+    (s_lat = π/NJ, s_lon = 2π/NI rad per cell).  Any outside neighbor is
+    outside in latitude (|Δlat| > ring·s_lat → central angle ≥ |Δlat|) or
+    outside in longitude (circular |Δlon| > ring·s_lon).  For the lon
+    case the bound is the exact great-circle distance from the point to
+    the meridian plane at lon offset Δ0 = ring·s_lon (sin d = cos φ_p ·
+    sin Δ0, valid for Δ0 ≤ π/2): the lon-sep ≥ Δ0 region is a lune whose
+    boundary meridians the geodesic must cross, so EVERY such neighbor —
+    at ANY latitude, poles included — is at least that far.  For
+    Δ0 > π/2 the lune shrinks inside the Δ0 = π/2 one, so Δ0 clamps at
+    π/2 (the bound saturates at R·asin(cos φ_p): near-pole points whose
+    k-th neighbor is farther than the local parallel circle radius
+    legitimately fall through to the exact tail).  Unsatisfied points
+    re-join at the next, wider ring
+    (only the remainder — dense-area points exit at ring 1 cost, sparse
+    ones pay more); whatever survives every ring falls back to an exact
+    broadcast cross-join rank (the remainder is the provably-hard tail:
+    points whose k-th neighbor is beyond the widest ring).
+
+    Output = exact global kNN (same relation as a brute-force cross join
+    + rank, ties broken (dist, name)), verified per-point on a
+    density-skewed fixture in tests/test_knn_adaptive.py.
+
+    Scale notes: bounded driver rounds (len(rings), each one keyed join +
+    one window over the REMAINDER only, persisted/unpersisted per round
+    like compact_s2_df); the fallback broadcasts only the remainder.  The
+    1 µm guarantee margin absorbs float noise (distances are ≥ mm-scale
+    apart or exactly equal — both engines share the formula)."""
+    import math
+
+    from ..geo import geohash as gh
+
+    lon_bits, lat_bits = gh._bits(precision)
+    NI, NJ = 1 << lon_bits, 1 << lat_bits
+    point_cols = list(points_df.columns)
+    s_lat = math.pi / NJ
+    s_lon = 2.0 * math.pi / NI
+    R = dist.EARTH_RADIUS_M
+
+    nb = neighbors_df.select(
+        F.col(name).alias("neighbor_name"),
+        F.col(n_lat).alias("__nlat"),
+        F.col(n_lon).alias("__nlon"),
+    )
+
+    def _ranked(cand: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*[F.col(c) for c in point_cols]).orderBy(
+            F.col("dist_m").asc(), F.col("neighbor_name").asc()
+        )
+        return cand.withColumn(
+            "dist_m",
+            udfs.haversine_col(F.col(lat), F.col(lon), F.col("__nlat"), F.col("__nlon")),
+        ).withColumn("rank", F.row_number().over(w))
+
+    parts: list[DataFrame] = []
+    remaining = points_df
+    prev_persisted: DataFrame | None = None
+    n_rem = -1  # unknown until first count
+    for ri, ring in enumerate(rings):
+        if NI <= 2 * ring + 1:
+            break  # ring spans the lon circle — no outside-in-lon bound exists
+        cand = _ring_join(remaining, nb, precision, ring, lat, lon)
+        ranked = _ranked(cand)
+        wu = Window.partitionBy(*[F.col(c) for c in point_cols])
+        kth = F.max(F.when(F.col("rank") <= k, F.col("dist_m"))).over(wu)
+        cnt = F.count(F.lit(1)).over(wu)
+        g = F.lit(R) * F.least(
+            F.lit(ring * s_lat),
+            F.asin(
+                F.cos(F.radians(F.col(lat)))
+                * F.lit(math.sin(min(ring * s_lon, math.pi / 2.0)))
+            ),
+        )
+        ok = (cnt >= k) & (kth < g - F.lit(1e-6))
+        from pyspark import StorageLevel
+
+        from ..functions import caching
+
+        scored = caching.track(
+            ranked.filter(F.col("rank") <= k)
+            .withColumn("__ok", ok)
+            .select(*point_cols, "neighbor_name", "rank", "dist_m", "__ok")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        parts.append(scored.filter(F.col("__ok")).drop("__ok"))
+        sat_keys = scored.filter(F.col("__ok")).select(*point_cols)
+        remaining = remaining.join(sat_keys, point_cols, "left_anti")
+        if ri == len(rings) - 1:
+            break  # last ring: the tail consumes `remaining` exactly once —
+            # skip the persist + count round-trip (one fewer driver job)
+        remaining = caching.track(remaining.persist(StorageLevel.MEMORY_AND_DISK))
+        n_rem = remaining.count()  # also materializes `scored` upstream
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = remaining
+        if n_rem == 0:
+            break
+    if n_rem != 0:
+        # exact fallback for the hard tail: broadcast the (small) remainder
+        # against the full neighbor relation — stays distributed, same JVM
+        # haversine + tie-break, so the union is seamless.  The remainder is
+        # small BY CONSTRUCTION of the ring ladder (only points whose k-th
+        # neighbor outdistances the widest ring's guarantee radius).
+        fb = _ranked(F.broadcast(remaining).crossJoin(nb)).filter(F.col("rank") <= k)
+        parts.append(fb.select(*point_cols, "neighbor_name", "rank", "dist_m"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _ring_join(
+    points_df: DataFrame,
+    nb: DataFrame,
+    precision: int,
+    max_ring: int,
+    lat: str,
+    lon: str,
+) -> DataFrame:
+    """Grid-quantized Chebyshev-ring candidate join (the shared pure-JVM
+    core of the fixed-ring and adaptive kNN paths): explode each point to
+    its (2·ring+1)² ring cells on the geohash integer grid (lon wrap via
+    pmod, lat cut at the poles), equi-join on the BIGINT grid id.  ``nb``
+    must carry (neighbor_name, __nlat, __nlon)."""
+    from ..geo import geohash as gh
+
+    lon_bits, lat_bits = gh._bits(precision)
+    NI, NJ = 1 << lon_bits, 1 << lat_bits
+    if NI <= 2 * max_ring + 1:
+        raise ValueError("ring wider than the longitude grid: raise precision")
+
+    def _q(col, off: float, span: float, n: int):
+        return F.least(
+            F.lit(n - 1),
+            F.greatest(F.lit(0), F.floor((col + off) / span * float(n))),
+        ).cast("long")
+
+    # two sequence-explodes, not one (2·ring+1)² literal struct array: a
+    # wide ring's literal array (961 structs at ring 15) is a whole-stage
+    # codegen compile bomb — measured ~10 s for a 3k-row round at sf0.1,
+    # dominated by compilation, vs ~1 s with sequence()
+    pts = (
+        points_df.withColumn("__qx", _q(F.col(lon), 180.0, 360.0, NI))
+        .withColumn("__qy", _q(F.col(lat), 90.0, 180.0, NJ))
+        .withColumn(
+            "__dj", F.explode(F.sequence(F.lit(-max_ring), F.lit(max_ring)))
+        )
+        .withColumn("__nqy", F.col("__qy") + F.col("__dj"))
+        .filter((F.col("__nqy") >= 0) & (F.col("__nqy") < NJ))
+        .withColumn(
+            "__di", F.explode(F.sequence(F.lit(-max_ring), F.lit(max_ring)))
+        )
+        .withColumn(
+            "__probe",
+            F.pmod(F.col("__qx") + F.col("__di"), F.lit(NI)) * NJ + F.col("__nqy"),
+        )
+        .drop("__di", "__dj", "__qx", "__qy", "__nqy")
+    )
+    nbp = nb.withColumn(
+        "__probe",
+        _q(F.col("__nlon"), 180.0, 360.0, NI) * NJ + _q(F.col("__nlat"), 90.0, 180.0, NJ),
+    )
+    return pts.join(nbp, "__probe", "inner").drop("__probe")
+
+
 def knn_join_cellring(
     points_df: DataFrame,
     neighbors_df: DataFrame,
@@ -163,55 +354,22 @@ def knn_join_cellring(
     (floor-quantize identical to geo.geohash.quantize), the ring is an
     explode over the literal (di, dj) offset array with longitude wrap
     (pmod) and latitude cut at the poles, and the equi-join keys on the
-    BIGINT grid id qx*NJ+qy — zero Python crossings, 8-byte join keys.
-    Ring membership is exactly the kernel's neighbors_ring set (Chebyshev
-    ≤ max_ring, lon circular NI>2·ring+1, lat rows outside [0, NJ) dropped
-    — the kernel clamps instead, which can only re-emit cells already in
-    the ring, so the joined PAIR set is identical and duplicate-free).
+    BIGINT grid id qx*NJ+qy — zero Python crossings, 8-byte join keys
+    (shared core: ``_ring_join``).  Ring membership is exactly the
+    kernel's neighbors_ring set (Chebyshev ≤ max_ring, lon circular
+    NI>2·ring+1, lat rows outside [0, NJ) dropped — the kernel clamps
+    instead, which can only re-emit cells already in the ring, so the
+    joined PAIR set is identical and duplicate-free).
+
+    For EXACT global kNN regardless of density, use
+    ``knn_join_cellring_adaptive``.
     """
-    from ..geo import geohash as gh
-
-    lon_bits, lat_bits = gh._bits(precision)
-    NI, NJ = 1 << lon_bits, 1 << lat_bits
-    if NI <= 2 * max_ring + 1:
-        raise ValueError("ring wider than the longitude grid: raise precision")
-
-    def _q(col, off: float, span: float, n: int):
-        return F.least(
-            F.lit(n - 1),
-            F.greatest(F.lit(0), F.floor((col + off) / span * float(n))),
-        ).cast("long")
-
-    offs = F.array(
-        *[
-            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
-            for di in range(-max_ring, max_ring + 1)
-            for dj in range(-max_ring, max_ring + 1)
-        ]
-    )
-    pts = (
-        points_df.withColumn("__qx", _q(F.col(lon), 180.0, 360.0, NI))
-        .withColumn("__qy", _q(F.col(lat), 90.0, 180.0, NJ))
-        .withColumn("__o", F.explode(offs))
-        .withColumn("__nqy", F.col("__qy") + F.col("__o.dj"))
-        .filter((F.col("__nqy") >= 0) & (F.col("__nqy") < NJ))
-        .withColumn(
-            "__probe",
-            F.pmod(F.col("__qx") + F.col("__o.di"), F.lit(NI)) * NJ + F.col("__nqy"),
-        )
-        .drop("__o", "__qx", "__qy", "__nqy")
-    )
-
     nb = neighbors_df.select(
         F.col(name).alias("neighbor_name"),
         F.col(n_lat).alias("__nlat"),
         F.col(n_lon).alias("__nlon"),
-    ).withColumn(
-        "__probe",
-        _q(F.col("__nlon"), 180.0, 360.0, NI) * NJ + _q(F.col("__nlat"), 90.0, 180.0, NJ),
     )
-
-    cand = pts.join(nb, "__probe", "inner").drop("__probe")
+    cand = _ring_join(points_df, nb, precision, max_ring, lat, lon)
     # a neighbor can match via several ring cells? no — each neighbor has ONE
     # cell; the query's ring contains each cell once → no duplicate pairs.
     cand = cand.withColumn(
