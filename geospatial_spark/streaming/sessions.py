@@ -93,21 +93,43 @@ def _session_fn(gap_seconds: int):
         # (round-2 advice)
         cents_arr = np.floor(rows["value"].to_numpy() * 100 + 0.5).astype("int64")
 
+        # vectorized gap split (round-3 review item 4 — no per-event Python):
+        # segment boundaries where the gap exceeds the threshold, then
+        # per-segment count/sum via reduceat; only per-SESSION work (append
+        # closed sessions, merge the carried open session) stays in Python.
+        starts_idx = np.concatenate(
+            ([0], np.flatnonzero(np.diff(eps) > gap_seconds) + 1)
+        )
+        ends_idx = np.concatenate((starts_idx[1:], [len(eps)]))
+        seg_n = (ends_idx - starts_idx).astype("int64")
+        seg_cents = np.add.reduceat(cents_arr, starts_idx)
+        seg_start = eps[starts_idx].astype("int64")
+        seg_last = eps[ends_idx - 1].astype("int64")
+
         if state.exists:
             start_ep, last_ep, n_ev, cents = state.get
-        else:
-            start_ep = last_ep = int(eps[0])
-            n_ev, cents = 0, 0
-        for ep, c in zip(eps, cents_arr):
-            ep = int(ep)
-            if n_ev > 0 and ep - last_ep > gap_seconds:
+            if int(eps[0]) - last_ep > gap_seconds:
+                # carried session closed by the gap to this batch's first event
                 out.append((user_id, start_ep, _fmt(start_ep), n_ev, cents))
-                start_ep, n_ev, cents = ep, 0, 0
-            if n_ev == 0:
-                start_ep = ep  # first event of a (new or fresh-group) session
-            n_ev += 1
-            cents += int(c)
-            last_ep = ep
+            else:
+                # first segment continues the carried session
+                seg_start[0] = start_ep
+                seg_n[0] += n_ev
+                seg_cents[0] += cents
+        for i in range(len(seg_n) - 1):  # all but the last segment are closed
+            out.append(
+                (
+                    user_id,
+                    int(seg_start[i]),
+                    _fmt(int(seg_start[i])),
+                    int(seg_n[i]),
+                    int(seg_cents[i]),
+                )
+            )
+        start_ep = int(seg_start[-1])
+        last_ep = int(seg_last[-1])
+        n_ev = int(seg_n[-1])
+        cents = int(seg_cents[-1])
 
         state.update((start_ep, last_ep, n_ev, cents))
         # event-time timeout: flush the open session when the watermark
