@@ -750,7 +750,17 @@ def _q_lang_id(spark, sf_dir):
 
 
 def _q_text_quality(spark, sf_dir):
-    return ts.text_quality(_docs(spark, sf_dir))
+    """Per-doc quality features + Gopher-style repetition signals (top
+    token / top bigram share — Rae et al. 2021 §A1.1) in ONE relation
+    (round-3 review item 5: repetition_stats had only a suite-level
+    mirror; folding its columns into text_quality lands it inside the
+    driver's 50-entry window without evicting anything).  Docs with < 2
+    tokens carry NULL repetition columns (LEFT JOIN, mirrored in SQL)."""
+    docs = _docs(spark, sf_dir)
+    rep = ts.repetition_stats(docs).select(
+        "id", "top_token_ppm", "top_bigram_ppm"
+    )
+    return ts.text_quality(docs).join(rep, "id", "left")
 
 
 def _q_doc_fingerprint(spark, sf_dir):

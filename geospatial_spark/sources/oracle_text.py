@@ -258,6 +258,10 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.id = d.doc_i
 
 
 def text_quality_sql() -> str:
+    """Quality features + the Gopher repetition columns (top token / top
+    bigram occurrence share) in one relation — the DuckDB twin of the
+    driver's widened text_quality entry (LEFT JOIN: docs with < 2 tokens
+    carry NULL repetition columns, like the Spark side)."""
     t = TH.tokens_sql("text")
     return f"""WITH base AS (
   SELECT doc_id AS id, text, {t} AS tok,
@@ -274,12 +278,31 @@ feat AS (
     greatest(len(tok), 1) AS safe_ntok,
     len(tok) AS n_tok
   FROM base
+),
+rbase AS (
+  SELECT id, tok AS tk FROM base WHERE len(tok) >= 2
+),
+rtoks AS (SELECT id, unnest(tk) AS t FROM rbase),
+rtokc AS (SELECT id, t, count(*) AS c FROM rtoks GROUP BY 1, 2),
+rtstat AS (SELECT id, max(c) AS tmx, sum(c) AS ttot FROM rtokc GROUP BY 1),
+rbigrams AS (
+  SELECT id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM rbase
+),
+rbigc AS (SELECT id, g, count(*) AS c FROM rbigrams GROUP BY 1, 2),
+rbstat AS (SELECT id, max(c) AS bmx, sum(c) AS btot FROM rbigc GROUP BY 1),
+rep AS (
+  SELECT t.id,
+         CAST(floor(1e6 * t.tmx / t.ttot) AS BIGINT) AS top_token_ppm,
+         CAST(floor(1e6 * b.bmx / b.btot) AS BIGINT) AS top_bigram_ppm
+  FROM rtstat t JOIN rbstat b ON b.id = t.id
 )
-SELECT id, n_chars, n_ws_tokens, n_bpe_tokens, uniq_tokens,
+SELECT f.id, n_chars, n_ws_tokens, n_bpe_tokens, uniq_tokens,
   CAST(floor(1e6 * tok_chars / safe_ntok) AS BIGINT) AS avg_tok_len_ppm,
   CAST(floor(1e6 * uniq_tokens / safe_ntok) AS BIGINT) AS uniq_ratio_ppm,
-  CAST(floor(1e6 * (0.5 * uniq_tokens / safe_ntok + 0.5 * least(n_tok, 200) / 200.0)) AS BIGINT) AS quality_ppm
-FROM feat"""
+  CAST(floor(1e6 * (0.5 * uniq_tokens / safe_ntok + 0.5 * least(n_tok, 200) / 200.0)) AS BIGINT) AS quality_ppm,
+  rep.top_token_ppm, rep.top_bigram_ppm
+FROM feat f LEFT JOIN rep ON rep.id = f.id"""
 
 
 def doc_fingerprint_sql(k: int = 8, window: int = 16) -> str:
