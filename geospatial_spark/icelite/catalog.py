@@ -70,13 +70,20 @@ def _data_dir(root: str, table: str) -> str:
     return os.path.join(root, table, "data")
 
 
-def current_manifest(root: str, table: str) -> dict[str, Any] | None:
-    _assert_local_root(root)
+def _version_pointer(root: str, table: str) -> int | None:
+    """The committed snapshot version (VERSION pointer), or None."""
     vfile = os.path.join(_meta_dir(root, table), "VERSION")
     if not os.path.exists(vfile):
         return None
     with open(vfile) as f:
-        v = f.read().strip()
+        return int(f.read().strip())
+
+
+def current_manifest(root: str, table: str) -> dict[str, Any] | None:
+    _assert_local_root(root)
+    v = _version_pointer(root, table)
+    if v is None:
+        return None
     with open(os.path.join(_meta_dir(root, table), f"v{v}.json")) as f:
         return json.load(f)
 
@@ -276,18 +283,89 @@ def _gc_orphan_batches(root: str, table: str, man: dict[str, Any]) -> None:
             shutil.rmtree(os.path.join(dd, name), ignore_errors=True)
 
 
-def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
+def snapshots(root: str, table: str) -> list[int]:
+    """Committed snapshot versions available for time travel (every
+    manifest file ever swapped in — the writer only appends, so version N
+    remains readable after N+1 commits).
+
+    Pinned to ≤ the VERSION pointer: a ``v{N}.json`` written by a writer
+    killed between the manifest rename and the pointer swap is NOT
+    committed — its batch directory is referenced by no committed manifest
+    and the next writer's orphan GC may remove it, so exposing it here
+    would offer a snapshot whose data can vanish."""
+    _assert_local_root(root)
+    md = _meta_dir(root, table)
+    if not os.path.isdir(md):
+        return []
+    head = _version_pointer(root, table)
+    if head is None:
+        return []
+    out = []
+    for name in os.listdir(md):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if v <= head:
+                out.append(v)
+    return sorted(out)
+
+
+def manifest_at(root: str, table: str, version: int) -> dict[str, Any]:
+    """The manifest exactly as of snapshot ``version`` (1-based batch
+    commits; the VERSION pointer names the latest).  Refuses versions
+    beyond the pointer — see ``snapshots`` for why an un-swapped
+    ``v{N}.json`` is not a committed snapshot."""
+    _assert_local_root(root)
+    head = _version_pointer(root, table)
+    if head is None or version > head:
+        raise FileNotFoundError(
+            f"no committed snapshot v{version} for {table} under {root}; "
+            f"available: {snapshots(root, table)}"
+        )
+    path = os.path.join(_meta_dir(root, table), f"v{version}.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no snapshot v{version} for {table} under {root}; "
+            f"available: {snapshots(root, table)}"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_table(
+    spark: SparkSession, root: str, table: str, as_of: int | None = None
+) -> DataFrame:
     """Read only COMMITTED data: manifest-listed batch directories, pruned
     further to committed partition ids (both are partition columns, so the
     filters prune at the file-listing level — orphan batches are never
-    touched)."""
-    man = current_manifest(root, table)
+    touched).
+
+    ``as_of=<version>`` time-travels to that snapshot (Iceberg
+    ``VERSION AS OF`` semantics): the reader binds to manifest v{N}'s
+    batch/partition lists, which are immutable once written — a writer
+    committing v{N+1} concurrently only ADDS new ``__batch=...``
+    directories and a new manifest file, so a pinned read is
+    snapshot-isolated by construction (tests/test_icelite_snapshots.py).
+    GC can never break a pinned read either: orphan collection only
+    removes batch dirs referenced by NO manifest record, and the
+    partitions list is append-only across versions."""
+    man = (
+        current_manifest(root, table)
+        if as_of is None
+        else manifest_at(root, table, as_of)
+    )
     if man is None:
         raise FileNotFoundError(f"no committed manifest for {table} under {root}")
     done = {rec["partition_id"] for rec in man["partitions"]}
     batches = sorted(
         {rec["batch"] for rec in man["partitions"] if rec.get("batch")}
     )
+    if not batches:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromDDL(man["schema"]))
     base = spark.read.parquet(_data_dir(root, table))
     return (
         base.filter(
