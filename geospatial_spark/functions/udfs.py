@@ -20,6 +20,8 @@ from pyspark.sql.types import (
     IntegerType,
     LongType,
     StringType,
+    StructField,
+    StructType,
 )
 
 from ..geo import distance as dist
@@ -372,6 +374,27 @@ def utm_zone_col(lon: Column) -> Column:
 
 def utm_epsg_col(lat: Column, lon: Column) -> Column:
     return (F.when(lat >= 0, 32600).otherwise(32700) + utm_zone_col(lon)).cast("int")
+
+
+def trans_proj_udf(src_epsg: int, dst_epsg: int):
+    """U3 (gutils.py:143-183): general reprojection between the CRS pairs
+    the reference exercises — 4326 ↔ 3857 ↔ UTM 326xx/327xx, any pair,
+    composed through 4326 (geo.geom.trans_proj; Snyder TM series both
+    directions, <1 mm in zone).  (x, y) in → struct(x, y) out, both in the
+    CRS's native axis order (lon/lat for 4326).  Vectorized numpy over
+    Arrow batches — a genuine kernel, not expressible as JVM columns."""
+    schema = StructType(
+        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+    )
+
+    @pandas_udf(schema)
+    def _tp(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        xx, yy = gm.trans_proj(
+            x.to_numpy(np.float64), y.to_numpy(np.float64), src_epsg, dst_epsg
+        )
+        return pd.DataFrame({"x": xx, "y": yy})
+
+    return _tp
 
 
 

@@ -776,6 +776,125 @@ def utm_forward(lat, lon, zone=None) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return x, y, zone
 
 
+def utm_inverse(x, y, zone, northern) -> tuple[np.ndarray, np.ndarray]:
+    """(easting, northing, zone, hemisphere) → lat/lon degrees.  Snyder
+    (1987) inverse series (footpoint latitude); <1 mm within zone —
+    roundtrip with ``utm_forward`` is property-tested to < 1e-6 m.
+    ``northern`` is bool-like (True = N hemisphere, no false-northing)."""
+    x = np.asarray(x, dtype=np.float64) - 500000.0
+    y = np.asarray(y, dtype=np.float64) - np.where(
+        np.asarray(northern, dtype=bool), 0.0, 10000000.0
+    )
+    zone = np.asarray(zone)
+    lon0 = (zone.astype(np.float64) - 1.0) * 6.0 - 180.0 + 3.0
+
+    e2, e4, e6 = _E2, _E2**2, _E2**3
+    M = y / _K0
+    mu = M / (_A * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+    e1 = (1.0 - np.sqrt(1.0 - e2)) / (1.0 + np.sqrt(1.0 - e2))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    C1 = _EP2 * cos1**2
+    T1 = tan1**2
+    N1 = _A / np.sqrt(1.0 - e2 * sin1**2)
+    R1 = _A * (1.0 - e2) / (1.0 - e2 * sin1**2) ** 1.5
+    D = x / (N1 * _K0)
+    phi = phi1 - (N1 * tan1 / R1) * (
+        D**2 / 2
+        - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * _EP2) * D**4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * _EP2 - 3 * C1**2)
+        * D**6
+        / 720
+    )
+    lam = (
+        D
+        - (1 + 2 * T1 + C1) * D**3 / 6
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * _EP2 + 24 * T1**2) * D**5 / 120
+    ) / cos1
+    return np.degrees(phi), lon0 + np.degrees(lam)
+
+
+def webmerc_forward(lat, lon) -> tuple[np.ndarray, np.ndarray]:
+    """lat/lon degrees → EPSG:3857 meters (spherical web mercator,
+    R = WGS-84 semi-major axis; latitude clipped to the square-world bound
+    ±atan(sinh(π)) like the tile math in geo/tiles.py)."""
+    from .tiles import MAX_LAT
+
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -MAX_LAT, MAX_LAT)
+    lon = np.asarray(lon, dtype=np.float64)
+    return _A * np.radians(lon), _A * np.arcsinh(np.tan(np.radians(lat)))
+
+
+def webmerc_inverse(x, y) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:3857 meters → lat/lon degrees (exact inverse of
+    ``webmerc_forward``)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    return np.degrees(np.arctan(np.sinh(y / _A))), np.degrees(x / _A)
+
+
+def trans_proj(x, y, src_epsg: int, dst_epsg: int, zone_hint=None):
+    """General coordinate reprojection between the CRSs the reference's
+    ``trans_proj`` (gutils.py:143-183, arbitrary proj1/proj2 via pyproj) is
+    actually exercised with: EPSG:4326 (x=lon, y=lat), EPSG:3857 (meters),
+    and EPSG:326xx/327xx (UTM N/S, x=easting, y=northing).  Any pair is
+    composed through 4326.  Returns (x', y') in the destination CRS's
+    native axis order — lon/lat for 4326, meters for the projected CRSs.
+
+    ``zone_hint`` (array-like) forces the UTM zone when the DESTINATION is
+    UTM (needed to reproject a geometry spanning a zone boundary into ONE
+    plane, as geom_stats does); by default the zone comes from
+    ``dst_epsg``.  UTM→anything reads the zone from ``src_epsg``."""
+
+    def _to_4326(x, y, epsg):
+        if epsg == 4326:
+            return np.asarray(y, np.float64), np.asarray(x, np.float64)
+        if epsg == 3857:
+            return webmerc_inverse(x, y)
+        if 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760:
+            zone = epsg % 100
+            northern = epsg < 32700
+            return utm_inverse(
+                x, y, np.full(np.shape(np.asarray(x)), zone), northern
+            )
+        raise ValueError(f"unsupported source EPSG:{epsg}")
+
+    def _from_4326(lat, lon, epsg):
+        if epsg == 4326:
+            return lon, lat
+        if epsg == 3857:
+            xx, yy = webmerc_forward(lat, lon)
+            return xx, yy
+        if 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760:
+            zone = (
+                np.asarray(zone_hint)
+                if zone_hint is not None
+                else np.full(np.shape(np.asarray(lat)), epsg % 100)
+            )
+            xx, yy, _ = utm_forward(lat, lon, zone=zone)
+            # utm_forward picks the false northing by LATITUDE sign; an
+            # EPSG CRS defines it by the CRS (327xx always +1e7, 326xx
+            # never — a northern point in 327xx lands above 1e7, a
+            # southern point in 326xx goes negative, matching pyproj)
+            lat_arr = np.asarray(lat, np.float64)
+            yy = yy - np.where(lat_arr < 0, 10000000.0, 0.0)
+            if epsg >= 32701:
+                yy = yy + 10000000.0
+            return xx, yy
+        raise ValueError(f"unsupported destination EPSG:{epsg}")
+
+    if src_epsg == dst_epsg:
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    lat, lon = _to_4326(x, y, src_epsg)
+    return _from_4326(lat, lon, dst_epsg)
+
+
 def geom_stats(geom: Geometry, unit: str = "m") -> tuple[int, int, int, float, float]:
     """(n_shells, n_holes, n_shell_points, area, perimeter) in the geometry's
     UTM zone — reference U1 (gutils.py:18-86).  Unit 'm' → m/m²,

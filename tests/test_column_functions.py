@@ -121,3 +121,66 @@ def test_rect_fully_inside_polygon():
     assert gm.rect_fully_inside_polygon(1, 1, 3, 3, holed)
     # hole edge crossing the rect -> not full
     assert not gm.rect_fully_inside_polygon(2, 2, 5, 5, holed)
+
+
+def test_trans_proj_udf_golden_and_roundtrip(spark):
+    """U3 surface (gutils.py:143-183): 4326→UTM golden (Eiffel Tower,
+    published 31N ≈ 448252 E / 5411955 N), 4326→3857→4326 roundtrip, and
+    UDF output == kernel output."""
+    import numpy as np
+
+    from geospatial_spark.geo import geom as gm
+
+    pts = [(2.2945, 48.8584), (151.2, -33.9), (-120.5, 35.5), (0.01, 0.01)]
+    df = spark.createDataFrame(pts, "x double, y double")
+
+    utm = df.select(
+        "x", "y", udfs.trans_proj_udf(4326, 32631)(F.col("x"), F.col("y")).alias("p")
+    ).select("x", "y", "p.x", "p.y")
+    eiffel = [r for r in utm.collect() if abs(r[0] - 2.2945) < 1e-9][0]
+    assert abs(eiffel[2] - 448252.0) < 1.0
+    assert abs(eiffel[3] - 5411954.9) < 1.0
+
+    # roundtrip through 3857 restores the input to < 1e-9 deg
+    rt = (
+        df.select(
+            "x", "y",
+            udfs.trans_proj_udf(4326, 3857)(F.col("x"), F.col("y")).alias("m"),
+        )
+        .select(
+            "x", "y",
+            udfs.trans_proj_udf(3857, 4326)(F.col("m.x"), F.col("m.y")).alias("b"),
+        )
+        .collect()
+    )
+    for r in rt:
+        assert abs(r["b"]["x"] - r["x"]) < 1e-9
+        assert abs(r["b"]["y"] - r["y"]) < 1e-9
+
+    # UDF == kernel, bit-identical (same numpy path)
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    kx, ky = gm.trans_proj(xs, ys, 4326, 32631)
+    got = {(r["x"], r["y"]): (r[2], r[3]) for r in utm.collect()}
+    for i, p in enumerate(pts):
+        gx, gy = got[p]
+        assert gx == kx[i] and gy == ky[i]
+
+
+def test_trans_proj_crs_hemisphere_semantics():
+    """EPSG 327xx always carries the 1e7 false northing, 326xx never —
+    by CRS, not by the point's hemisphere (pyproj semantics)."""
+    import numpy as np
+
+    from geospatial_spark.geo import geom as gm
+
+    # northern point in a southern CRS: northing > 1e7
+    _, n = gm.trans_proj(np.array([151.2]), np.array([2.0]), 4326, 32756)
+    assert n[0] > 1e7
+    # southern point in a northern CRS: negative northing
+    _, n2 = gm.trans_proj(np.array([151.2]), np.array([-2.0]), 4326, 32656)
+    assert n2[0] < 0
+    # and both invert exactly through the matching CRS
+    x, y = gm.trans_proj(np.array([151.2]), np.array([2.0]), 4326, 32756)
+    lo, la = gm.trans_proj(x, y, 32756, 4326)
+    assert abs(lo[0] - 151.2) < 1e-8 and abs(la[0] - 2.0) < 1e-8

@@ -144,3 +144,53 @@ def test_prefix_filter_lemma_exact_recall(sets, tp):
                     f"pair with jac {jac_ppm} >= {tp} shares no prefix gram: "
                     f"{sorted(a)} / {sorted(b)}"
                 )
+
+
+# --- U3 trans_proj: TM inverse + web-mercator, both directions ------------
+
+utm_lats = st.floats(min_value=-80.0, max_value=84.0, allow_nan=False, width=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(utm_lats, lons)
+def test_utm_forward_inverse_roundtrip(lat, lon):
+    from geospatial_spark.geo import geom as gm
+
+    x, y, z = gm.utm_forward(np.array([lat]), np.array([lon]))
+    la, lo = gm.utm_inverse(x, y, z, np.array([lat >= 0]))
+    # Snyder series agree to ~1 mm within the zone (1 deg lat ≈ 111 km;
+    # lon meters scale by cos φ)
+    assert abs(la[0] - lat) * 111_320 < 2e-3
+    assert abs(lo[0] - lon) * 111_320 * np.cos(np.radians(lat)) < 2e-3
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons)
+def test_webmerc_roundtrip_and_tile_consistency(lat, lon):
+    from geospatial_spark.geo import geom as gm
+
+    X, Y = gm.webmerc_forward(np.array([lat]), np.array([lon]))
+    la, lo = gm.webmerc_inverse(X, Y)
+    assert abs(la[0] - lat) < 1e-12 and abs(lo[0] - lon) < 1e-12
+    # the meters plane and the tile math quantize identically
+    z = 10
+    nx = int(np.floor((X[0] / (gm._A * np.pi) + 1.0) / 2.0 * (1 << z)))
+    ny = int(np.floor((1.0 - Y[0] / (gm._A * np.pi)) / 2.0 * (1 << z)))
+    tx, ty = tl.lonlat_to_tile(np.array([lon]), np.array([lat]), z)
+    assert (min(nx, (1 << z) - 1), min(ny, (1 << z) - 1)) == (int(tx[0]), int(ty[0]))
+
+
+@settings(max_examples=150, deadline=None)
+@given(utm_lats, lons, st.sampled_from([4326, 3857]))
+def test_trans_proj_composes_through_4326(lat, lon, mid):
+    """any → mid → natural-UTM → 4326 returns the starting point (< 1 mm);
+    exercises every supported CRS pair in one chain."""
+    from geospatial_spark.geo import geom as gm
+
+    epsg = int(gm.utm_zone_epsg(np.array([lat]), np.array([lon]))[0])
+    x0, y0 = np.array([lon]), np.array([lat])
+    x1, y1 = gm.trans_proj(x0, y0, 4326, mid)
+    x2, y2 = gm.trans_proj(x1, y1, mid, epsg)
+    x3, y3 = gm.trans_proj(x2, y2, epsg, 4326)
+    assert abs(x3[0] - lon) * 111_320 * np.cos(np.radians(lat)) < 4e-3
+    assert abs(y3[0] - lat) * 111_320 < 4e-3
