@@ -256,8 +256,11 @@ def _q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multi-ring escalation exercised in tests/test_knn_adaptive.py).
     Output is EXACT global kNN, so the oracle is the same cross-join +
     window rank as knn_k5 (the r3 fixed-ring entry returned fewer rows
-    for points whose k-th neighbor lay beyond the global ring; this one
-    never does)."""
+    for points whose k-th neighbor lay beyond the global ring —
+    566,992 of 600,000 at sf0.1; this one never short-rows: ~36k points
+    fail the ring-3 guarantee against this 66-row gazetteer and take
+    the exact broadcast tail — the bench delta vs r3 is that tail's
+    price, not a plan regression)."""
     pts = _points(spark, sf_dir).select("url", "entity", "lat", "lon").distinct()
     gaz = src.gazetteer(spark).select("name", "lat", "lon")
     out = knn_ops.knn_join_cellring_adaptive(

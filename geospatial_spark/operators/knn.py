@@ -191,9 +191,18 @@ def knn_join_cellring_adaptive(
     one window over the REMAINDER only, persisted/unpersisted per round
     like compact_s2_df); the fallback broadcasts only the remainder.  The
     1 µm guarantee margin absorbs float noise (distances are ≥ mm-scale
-    apart or exactly equal — both engines share the formula)."""
+    apart or exactly equal — both engines share the formula).  The query
+    side is localCheckpoint-ed once up front: every round's ring join AND
+    the tail's anti-join re-read it, and for a derived point relation
+    that means recomputing the full upstream lineage per pass otherwise
+    (A/B-measured at sf0.1 on the pages→points derivation: checkpoint
+    beat both recompute and MEMORY_AND_DISK persist in every paired
+    trial; same pattern as dedup's pointer-jumping rounds)."""
     import math
 
+    from pyspark import StorageLevel
+
+    from ..functions import caching
     from ..geo import geohash as gh
 
     lon_bits, lat_bits = gh._bits(precision)
@@ -202,6 +211,8 @@ def knn_join_cellring_adaptive(
     s_lat = math.pi / NJ
     s_lon = 2.0 * math.pi / NI
     R = dist.EARTH_RADIUS_M
+
+    points_df = points_df.localCheckpoint(eager=False)
 
     nb = neighbors_df.select(
         F.col(name).alias("neighbor_name"),
@@ -227,7 +238,14 @@ def knn_join_cellring_adaptive(
             break  # ring spans the lon circle — no outside-in-lon bound exists
         cand = _ring_join(remaining, nb, precision, ring, lat, lon)
         ranked = _ranked(cand)
-        wu = Window.partitionBy(*[F.col(c) for c in point_cols])
+        # satisfaction stats share the rank window's partitioning AND
+        # ordering (full-partition frame) — WindowExec appends them to the
+        # same sorted pass, zero extra Exchange or Sort
+        wu = (
+            Window.partitionBy(*[F.col(c) for c in point_cols])
+            .orderBy(F.col("dist_m").asc(), F.col("neighbor_name").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
         kth = F.max(F.when(F.col("rank") <= k, F.col("dist_m"))).over(wu)
         cnt = F.count(F.lit(1)).over(wu)
         g = F.lit(R) * F.least(
@@ -238,10 +256,6 @@ def knn_join_cellring_adaptive(
             ),
         )
         ok = (cnt >= k) & (kth < g - F.lit(1e-6))
-        from pyspark import StorageLevel
-
-        from ..functions import caching
-
         scored = caching.track(
             ranked.filter(F.col("rank") <= k)
             .withColumn("__ok", ok)
