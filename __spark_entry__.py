@@ -574,7 +574,13 @@ def _q_clip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the overlay numbers come from the numpy kernel
     (geo.geom.overlay_metrics), mirrored in the oracle by a VALUES map
     generated from the same kernel over the constant fixtures.  The former
-    convex-only `clip_convex` entry is subsumed by mode='convex'."""
+    convex-only `clip_convex` entry is subsumed by mode='convex'.
+
+    Round 4: the intersection GEOMETRY itself is now an output (ref
+    poverlay returns geometries): dissolved boundary rings
+    (geo.geom.overlay_intersection_rings — triangulation chords cancelled
+    on the e9 grid, leftmost-turn boundary trace), pinned per pair as
+    (n_rings, ring_pts, md5(canonical fixed-9 MULTIPOLYGON WKT))."""
     m = osql.CLIP_CONVEX_MARGIN
     r = src.regions(spark).select("region_id", "minx", "miny", "maxx", "maxy", "geometry")
     g = src.gazetteer(spark).select("name", F.col("lat").alias("glat"), F.col("lon").alias("glon"))
@@ -597,7 +603,16 @@ def _q_clip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "name",
                 F.lit(mode).alias("mode"),
                 clip(F.col("geometry"), F.col("glat"), F.col("glon")).alias("__c"),
-            ).select("region_id", "name", "mode", "__c.*")
+            )
+            .select("region_id", "name", "mode", "__c.*")
+            # geometry pin (round 4): md5 of the canonical fixed-9
+            # MULTIPOLYGON WKT of the dissolved intersection rings —
+            # computed JVM-side from the UDF's string, matched against the
+            # oracle map's kernel-side md5, so the geometry output itself
+            # is driver-value-checked (the full WKT stays available to
+            # users via udfs.clip_general_udf)
+            .withColumn("geom_md5", F.md5(F.col("geom_wkt")))
+            .drop("geom_wkt")
         )
     return parts[0].unionByName(parts[1])
 
@@ -1240,7 +1255,10 @@ pairs AS (SELECT r.region_id, g.name, m.mode FROM regions r JOIN gaz g
 SELECT p.region_id, p.name, p.mode, CAST(cgm.n_pieces AS INT) AS n_pieces,
        CAST(cgm.inter_e12 AS BIGINT) AS inter_e12,
        CAST(cgm.union_e12 AS BIGINT) AS union_e12,
-       CAST(cgm.diff_e12 AS BIGINT) AS diff_e12
+       CAST(cgm.diff_e12 AS BIGINT) AS diff_e12,
+       CAST(cgm.n_rings AS INT) AS n_rings,
+       CAST(cgm.ring_pts AS INT) AS ring_pts,
+       CAST(cgm.geom_md5 AS VARCHAR) AS geom_md5
 FROM pairs p LEFT JOIN cgm ON cgm.region_id = p.region_id
   AND cgm.name = p.name AND cgm.mode = p.mode"""
         ),

@@ -602,18 +602,26 @@ def clip_general_udf(
     per triangle, areas additive over the triangulation
     (``geo.geom.overlay_metrics``); union/difference are closed forms over
     the exact intersection.  Emits (n_pieces, inter_e12, union_e12,
-    diff_e12) as floor(x·1e12+0.5) ints; NULLs when disjoint.  The oracle's
-    VALUES map runs the SAME kernel over the constant fixtures, so parity
-    is bit-exact."""
+    diff_e12) as floor(x·1e12+0.5) ints, PLUS the intersection GEOMETRY
+    (round 4 — ref ``poverlay`` returns geometries, not areas): the
+    dissolved boundary rings (``geo.geom.overlay_intersection_rings``,
+    triangulation chords cancelled on the e9 integer grid) as
+    (n_rings, ring_pts, geom_wkt) with a canonical fixed-9 MULTIPOLYGON
+    WKT.  NULLs when disjoint.  The oracle's VALUES map runs the SAME
+    kernel over the constant fixtures, so parity is bit-exact."""
     if mode not in ("convex", "star"):
         raise ValueError(f"clip_general_udf: unknown mode {mode!r}")
 
-    @pandas_udf("n_pieces int, inter_e12 bigint, union_e12 bigint, diff_e12 bigint")
+    @pandas_udf(
+        "n_pieces int, inter_e12 bigint, union_e12 bigint, diff_e12 bigint, "
+        "n_rings int, ring_pts int, geom_wkt string"
+    )
     def _clip(wkb: pd.Series, glat: pd.Series, glon: pd.Series) -> pd.DataFrame:
+        nulls = (None,) * 7
         rows = []
         for buf, la, lo in zip(wkb, glat, glon):
             if buf is None:
-                rows.append((None, None, None, None))
+                rows.append(nulls)
                 continue
             shell = gm.parse_wkb(bytes(buf)).parts[0][0]
             subj = gm.l_ring_from_bbox(
@@ -628,19 +636,29 @@ def clip_general_udf(
                 )
             m = gm.overlay_metrics(subj, clip, convex_clip=(mode == "convex"))
             if m is None:
-                rows.append((None, None, None, None))
+                rows.append(nulls)
             else:
                 pieces, inter, uni, diff = m
+                rings = gm.overlay_intersection_rings(
+                    subj, clip, convex_clip=(mode == "convex")
+                )
                 rows.append(
                     (
                         pieces,
                         int(np.floor(inter * 1e12 + 0.5)),
                         int(np.floor(uni * 1e12 + 0.5)),
                         int(np.floor(diff * 1e12 + 0.5)),
+                        len(rings),
+                        int(sum(len(r) - 1 for r in rings)),
+                        gm.rings_canonical_wkt(rings),
                     )
                 )
         return pd.DataFrame(
-            rows, columns=["n_pieces", "inter_e12", "union_e12", "diff_e12"]
+            rows,
+            columns=[
+                "n_pieces", "inter_e12", "union_e12", "diff_e12",
+                "n_rings", "ring_pts", "geom_wkt",
+            ],
         )
 
     return _clip

@@ -693,6 +693,209 @@ def overlay_metrics(
     return pieces, inter, a_s + a_c - inter, a_s - inter
 
 
+def overlay_intersection_rings(
+    subject_ring: np.ndarray,
+    clip_ring: np.ndarray,
+    *,
+    convex_clip: bool = False,
+    quant: float = 1e-9,
+) -> list[np.ndarray]:
+    """GEOMETRY output of the general boolean intersection (reference
+    poverlay ``gutils.py:532-600`` ``how="intersection"`` returns
+    geometries, not areas): the dissolved boundary rings of
+    subject ∩ clip, as closed CCW (n, 2) float arrays.
+
+    Route: the same per-triangle Sutherland–Hodgman pieces
+    ``overlay_metrics`` sums — their interiors partition the intersection
+    — then dissolve the internal triangulation chords by quantized
+    directed-edge cancellation: every chord subsegment appears in exactly
+    two adjacent pieces with opposite orientation (S-H computes the same
+    crossing parameter t for a reversed edge up to float noise, absorbed
+    by the 1e-9-degree ≈ 0.1 mm quantization), so cancelling (u→v, v→u)
+    pairs leaves exactly the outer boundary, which is then chained into
+    rings.  Components of an intersection of two simple polygons are
+    simply connected, so the result is rings only — no holes.  Raises on
+    a boundary that does not chain (degenerate/non-general-position
+    input) rather than returning a wrong geometry.
+
+    Verified against ``overlay_metrics`` areas, the direct convex clip,
+    and point-membership sampling in tests/test_overlay_general.py."""
+    cr = np.asarray(clip_ring, dtype=np.float64)
+    if not np.array_equal(cr[0], cr[-1]):
+        cr = np.vstack([cr, cr[:1]])
+    if convex_clip:
+        out = clip_ring_convex(subject_ring, cr)
+        pieces = [out] if out is not None else []
+    else:
+        pieces = []
+        for tri in triangulate_ring(cr):
+            out = clip_ring_convex(subject_ring, np.vstack([tri, tri[:1]]))
+            if out is not None:
+                pieces.append(out)
+
+    from collections import Counter
+
+    raw_edges: list[tuple[tuple[int, int], tuple[int, int]]] = []
+    verts: set[tuple[int, int]] = set()
+    total_area2 = 0
+    for ring in pieces:
+        q = np.round(ring[:-1] / quant).astype(np.int64)
+        # drop consecutive duplicates created by quantization
+        keep = np.ones(len(q), dtype=bool)
+        keep[1:] = np.any(q[1:] != q[:-1], axis=1)
+        q = q[keep]
+        if len(q) > 1 and np.all(q[0] == q[-1]):
+            q = q[:-1]
+        if len(q) < 3:
+            continue
+        # normalize to CCW in quantized space so orientations cancel
+        area2 = int(
+            np.sum(q[:, 0] * np.roll(q[:, 1], -1) - np.roll(q[:, 0], -1) * q[:, 1])
+        )
+        if area2 == 0:
+            continue
+        total_area2 += abs(area2)
+        if area2 < 0:
+            q = q[::-1]
+        for a, b in zip(q, np.roll(q, -1, axis=0)):
+            raw_edges.append((tuple(int(x) for x in a), tuple(int(x) for x in b)))
+            verts.add(raw_edges[-1][0])
+
+    # split every edge at collinear in-between vertices (exact Python-int
+    # arithmetic — coordinates reach ~1.8e11 on the e9 grid, so int64 cross
+    # products would overflow): Sutherland–Hodgman emits zero-width bridge
+    # edges along a chord that can JUMP over vertices the adjacent
+    # triangle's piece does have, and cancellation must happen at a common
+    # segment granularity
+    edges: Counter[tuple[tuple[int, int], tuple[int, int]]] = Counter()
+    for u, v in raw_edges:
+        if u == v:
+            continue
+        dx, dy = v[0] - u[0], v[1] - u[1]
+        on = []
+        for p in verts:
+            if p == u or p == v:
+                continue
+            px, py = p[0] - u[0], p[1] - u[1]
+            if dx * py - dy * px != 0:
+                continue  # not collinear
+            t = px * dx + py * dy  # position along the edge, scaled
+            if 0 < t < dx * dx + dy * dy:
+                on.append((t, p))
+        chain = [u] + [p for _, p in sorted(on)] + [v]
+        for a, b in zip(chain, chain[1:]):
+            edges[(a, b)] += 1
+
+    # cancel opposite-direction pairs (internal chords)
+    boundary: list[tuple[tuple[int, int], tuple[int, int]]] = []
+    for (u, v), n in edges.items():
+        n_rev = edges.get((v, u), 0)
+        net = n - n_rev
+        if net > 0:
+            boundary.extend([(u, v)] * net)
+    if not boundary:
+        # a sliver thinner than the quantization grid (every piece
+        # quantized to zero area, or all edges double-covered) has no
+        # geometry at e9 resolution — empty result, NOT an error; raise
+        # only on the impossible case of surviving area with no boundary
+        if total_area2 > 0:
+            raise ValueError(
+                "overlay_intersection_rings: boundary cancelled away with "
+                "nonzero quantized area"
+            )
+        return []
+    # chain directed boundary edges into rings.  At a pinch vertex
+    # (several outgoing edges) take the LEFTMOST turn relative to the
+    # incoming direction — the standard planar boundary trace that keeps
+    # the region interior on the left of a CCW boundary, so rings never
+    # cross (a smallest-successor heuristic mis-pairs in/out edges at
+    # pinches and produces wound, mutually-overlapping rings; seen on a
+    # clip vertex lying exactly on a subject edge)
+    import math as _math
+
+    succ: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for u, v in boundary:
+        succ.setdefault(u, []).append(v)
+    for u in succ:
+        succ[u].sort()
+
+    def _take_leftmost(cur, prev):
+        nxts = succ[cur]
+        if prev is None or len(nxts) == 1:
+            return nxts.pop(0)
+        a_in = _math.atan2(cur[1] - prev[1], cur[0] - prev[0])
+        best_i, best_key = 0, None
+        for i, n in enumerate(nxts):
+            a_out = _math.atan2(n[1] - cur[1], n[0] - cur[0])
+            # CCW turn angle in (0, 2π]: leftmost = largest
+            turn = (a_out - a_in + _math.pi) % (2.0 * _math.pi)
+            key = (turn, n)
+            if best_key is None or key > best_key:
+                best_i, best_key = i, key
+        return nxts.pop(best_i)
+
+    rings: list[np.ndarray] = []
+    starts = sorted(succ.keys())
+    for s in starts:
+        while succ.get(s):
+            path = [s]
+            prev = None
+            cur = s
+            while True:
+                nxts = succ.get(cur)
+                if not nxts:
+                    raise ValueError(
+                        "overlay_intersection_rings: open boundary chain "
+                        f"at {cur} (non-general-position input?)"
+                    )
+                nxt = _take_leftmost(cur, prev)
+                prev, cur = cur, nxt
+                if cur == s:
+                    break
+                path.append(cur)
+            # drop collinear vertices (T-junctions left by edge splitting;
+            # exact Python-int cross products)
+            simp = []
+            n = len(path)
+            for i in range(n):
+                a, b, c = path[i - 1], path[i], path[(i + 1) % n]
+                if (b[0] - a[0]) * (c[1] - a[1]) != (b[1] - a[1]) * (c[0] - a[0]):
+                    simp.append(b)
+            if len(simp) >= 3:
+                r = np.array(simp + [simp[0]], dtype=np.float64) * quant
+                if abs(ring_area_planar(r)) > 0.0:
+                    rings.append(r)
+    # deterministic output order: by first vertex
+    rings.sort(key=lambda r: (r[0, 0], r[0, 1]))
+    return rings
+
+
+def rings_canonical_wkt(rings: list[np.ndarray], quant: float = 1e-9) -> str | None:
+    """Canonical MULTIPOLYGON-style WKT of dissolved intersection rings:
+    vertices rendered as exact fixed-9 decimals from the e9 integer grid
+    (engine-portable — no float printf), each ring rotated to start at its
+    lexicographically-smallest vertex, rings sorted.  None when empty."""
+    if not rings:
+        return None
+    parts = []
+    for r in rings:
+        q = np.round(r[:-1] / quant).astype(np.int64)
+        k = int(np.lexsort((q[:, 1], q[:, 0]))[0])
+        q = np.roll(q, -k, axis=0)
+        pts = [f"{_fixed9(int(x))} {_fixed9(int(y))}" for x, y in q]
+        pts.append(pts[0])
+        parts.append("((" + ", ".join(pts) + "))")
+    parts.sort()
+    return "MULTIPOLYGON (" + ", ".join(parts) + ")"
+
+
+def _fixed9(v: int) -> str:
+    """Exact fixed-point decimal with 9 fractional digits from an e9 int."""
+    sign = "-" if v < 0 else ""
+    v = abs(v)
+    return f"{sign}{v // 1_000_000_000}.{v % 1_000_000_000:09d}"
+
+
 def ring_area_planar(ring: np.ndarray) -> float:
     """Signed shoelace area (planar units of the ring's CRS)."""
     x = ring[:, 0]

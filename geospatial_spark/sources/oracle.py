@@ -10,6 +10,7 @@ views: documents, events, ...).
 from __future__ import annotations
 
 import functools as _functools
+import hashlib as _hashlib
 
 from . import constants as C
 
@@ -303,16 +304,33 @@ def clip_general_values() -> str:
                 if met is None:
                     continue
                 pieces, inter, uni, diff = met
+                # geometry output (round 4): dissolved intersection rings;
+                # the map carries md5(canonical WKT) — Spark computes
+                # F.md5(geom_wkt) over the SAME kernel's string, so the
+                # geometry itself is value-pinned cross-engine
+                rings = gm.overlay_intersection_rings(
+                    subj, clip, convex_clip=(mode == "convex")
+                )
+                wkt = gm.rings_canonical_wkt(rings)
+                # a sub-quantum sliver has metrics but no e9 geometry —
+                # NULL wkt/md5 on both engines
+                md5 = (
+                    f"'{_hashlib.md5(wkt.encode()).hexdigest()}'"
+                    if wkt is not None
+                    else "NULL"
+                )
                 vals.append(
                     f"('{rid}', '{name}', '{mode}', {pieces}, "
                     f"{int(np.floor(inter * 1e12 + 0.5))}, "
                     f"{int(np.floor(uni * 1e12 + 0.5))}, "
-                    f"{int(np.floor(diff * 1e12 + 0.5))})"
+                    f"{int(np.floor(diff * 1e12 + 0.5))}, "
+                    f"{len(rings)}, {sum(len(r) - 1 for r in rings)}, {md5})"
                 )
     if not vals:
         raise RuntimeError("clip_general_values: empty kernel map")
     return (
-        "cgm(region_id, name, mode, n_pieces, inter_e12, union_e12, diff_e12) "
+        "cgm(region_id, name, mode, n_pieces, inter_e12, union_e12, diff_e12, "
+        "n_rings, ring_pts, geom_md5) "
         f"AS (VALUES {', '.join(vals)})"
     )
 

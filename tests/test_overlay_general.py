@@ -143,3 +143,99 @@ def test_star_ring_is_concave_and_simple():
             sgn * ((b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]))
         )
     assert sum(1 for c in crosses if c < 0) == 8  # the 8 inner vertices
+
+
+# --- round 4: intersection GEOMETRY output (dissolved rings + WKT) --------
+
+
+def _pip(ring, px, py):
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cond = (y > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = x + (py - y) * (x2 - x) / (y2 - y)
+    return np.sum(cond & (px < xi)) % 2 == 1
+
+
+def _closed(ring):
+    return ring if np.array_equal(ring[0], ring[-1]) else np.vstack([ring, ring[:1]])
+
+
+def _check_rings(subj, clip, convex=False):
+    """Shared invariants: rings closed, disjoint & positively oriented
+    (signed sum == abs sum), area equals overlay_metrics' exact
+    intersection, and point membership matches the source polygons."""
+    met = gm.overlay_metrics(subj, clip, convex_clip=convex)
+    rings = gm.overlay_intersection_rings(subj, clip, convex_clip=convex)
+    if met is None:
+        assert rings == []
+        return rings
+    signed = sum(gm.ring_area_planar(r) for r in rings)
+    abs_sum = sum(abs(gm.ring_area_planar(r)) for r in rings)
+    assert signed == pytest.approx(met[1], abs=1e-8)
+    assert abs_sum == pytest.approx(signed, abs=1e-12)  # all CCW, disjoint
+    for r in rings:
+        assert np.array_equal(r[0], r[-1])
+    allc = np.vstack([subj[:-1], _closed(clip)[:-1]])
+    rng = np.random.default_rng(11)
+    lo, hi = allc.min(0) - 0.01, allc.max(0) + 0.01
+    for px, py in rng.uniform(lo, hi, size=(800, 2)):
+        want = _pip(_closed(subj), px, py) and _pip(_closed(clip), px, py)
+        got = sum(_pip(r, px, py) for r in rings) % 2 == 1
+        assert want == got
+    return rings
+
+
+def test_intersection_rings_concave_star():
+    subj = gm.l_ring_from_bbox(0.0, 0.0, 1.0, 1.0)
+    star = gm.star_ring_numpy(0.45, 0.45, 40000.0, 22000.0, 16)
+    rings = _check_rings(subj, star)
+    assert len(rings) >= 1
+
+
+def test_intersection_rings_convex_equals_direct():
+    """General (triangulated + dissolved) path and direct convex S-H
+    describe the same region on a convex clip, including on a pinch-
+    degenerate fixture (a clip vertex exactly on the subject edge)."""
+    subj = gm.l_ring_from_bbox(0.0, 0.0, 1.0, 1.0)
+    hexa = gm.buffer_ring_numpy(0.5, 0.5, 30000.0, 16)
+    rings_g = _check_rings(subj, hexa, convex=False)
+    rings_c = _check_rings(subj, hexa, convex=True)
+    a_g = sum(gm.ring_area_planar(r) for r in rings_g)
+    a_c = sum(gm.ring_area_planar(r) for r in rings_c)
+    assert a_g == pytest.approx(a_c, rel=1e-7)
+    assert len(rings_c) == 1
+
+
+def test_intersection_rings_disconnected_components():
+    """A clip overlapping the L's notch corner produces a disconnected
+    intersection — every component must surface as its own ring."""
+    subj = gm.l_ring_from_bbox(0.0, 0.0, 1.0, 1.0)
+    star = gm.star_ring_numpy(0.75, 0.75, 60000.0, 20000.0, 16)
+    rings = _check_rings(subj, star)
+    assert len(rings) >= 2
+
+
+def test_intersection_rings_concave_concave_exact_rect():
+    """L∩L = the unit rect [1,2]×[0,1] — the dissolve must recover exactly
+    that rectangle (4 corners on the e9 grid)."""
+    A = gm.l_ring_from_bbox(0.0, 0.0, 2.0, 2.0)
+    B = gm.l_ring_from_bbox(1.0, 0.0, 3.0, 2.0)
+    rings = _check_rings(A, B)
+    assert len(rings) == 1
+    corners = {tuple(p) for p in np.round(rings[0][:-1], 9)}
+    assert corners == {(1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0)}
+
+
+def test_rings_canonical_wkt_deterministic():
+    subj = gm.l_ring_from_bbox(0.0, 0.0, 1.0, 1.0)
+    star = gm.star_ring_numpy(0.45, 0.45, 40000.0, 22000.0, 16)
+    rings = gm.overlay_intersection_rings(subj, star)
+    w1 = gm.rings_canonical_wkt(rings)
+    # rotation/orientation of the input ring list must not matter: rebuild
+    # from a rotated vertex start and reversed list order
+    rot = [np.vstack([r[3:-1], r[:4]]) for r in rings][::-1]
+    w2 = gm.rings_canonical_wkt(rot)
+    assert w1 == w2
+    assert w1.startswith("MULTIPOLYGON (((")
+    assert gm.rings_canonical_wkt([]) is None
