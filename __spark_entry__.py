@@ -605,14 +605,16 @@ def _q_clip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
                 clip(F.col("geometry"), F.col("glat"), F.col("glon")).alias("__c"),
             )
             .select("region_id", "name", "mode", "__c.*")
-            # geometry pin (round 4): md5 of the canonical fixed-9
-            # MULTIPOLYGON WKT of the dissolved intersection rings —
-            # computed JVM-side from the UDF's string, matched against the
-            # oracle map's kernel-side md5, so the geometry output itself
-            # is driver-value-checked (the full WKT stays available to
-            # users via udfs.clip_general_udf)
+            # geometry pins (round 4): md5 of the canonical fixed-9
+            # MULTIPOLYGON WKT of the dissolved intersection, difference
+            # and union rings — computed JVM-side from the UDF's strings,
+            # matched against the oracle map's kernel-side md5s, so all
+            # three boolean-op geometries are driver-value-checked (the
+            # full WKT stays available to users via udfs.clip_general_udf)
             .withColumn("geom_md5", F.md5(F.col("geom_wkt")))
-            .drop("geom_wkt")
+            .withColumn("diff_md5", F.md5(F.col("diff_wkt")))
+            .withColumn("union_md5", F.md5(F.col("union_wkt")))
+            .drop("geom_wkt", "diff_wkt", "union_wkt")
         )
     return parts[0].unionByName(parts[1])
 
@@ -1258,7 +1260,9 @@ SELECT p.region_id, p.name, p.mode, CAST(cgm.n_pieces AS INT) AS n_pieces,
        CAST(cgm.diff_e12 AS BIGINT) AS diff_e12,
        CAST(cgm.n_rings AS INT) AS n_rings,
        CAST(cgm.ring_pts AS INT) AS ring_pts,
-       CAST(cgm.geom_md5 AS VARCHAR) AS geom_md5
+       CAST(cgm.geom_md5 AS VARCHAR) AS geom_md5,
+       CAST(cgm.diff_md5 AS VARCHAR) AS diff_md5,
+       CAST(cgm.union_md5 AS VARCHAR) AS union_md5
 FROM pairs p LEFT JOIN cgm ON cgm.region_id = p.region_id
   AND cgm.name = p.name AND cgm.mode = p.mode"""
         ),

@@ -614,10 +614,12 @@ def clip_general_udf(
 
     @pandas_udf(
         "n_pieces int, inter_e12 bigint, union_e12 bigint, diff_e12 bigint, "
-        "n_rings int, ring_pts int, geom_wkt string"
+        "n_rings int, ring_pts int, geom_wkt string, diff_wkt string, "
+        "union_wkt string"
     )
     def _clip(wkb: pd.Series, glat: pd.Series, glon: pd.Series) -> pd.DataFrame:
-        nulls = (None,) * 7
+        nulls = (None,) * 9
+        cvx = mode == "convex"
         rows = []
         for buf, la, lo in zip(wkb, glat, glon):
             if buf is None:
@@ -628,20 +630,20 @@ def clip_general_udf(
                 float(shell[:, 0].min()), float(shell[:, 1].min()),
                 float(shell[:, 0].max()), float(shell[:, 1].max()),
             )
-            if mode == "convex":
+            if cvx:
                 clip = gm.buffer_ring_numpy(float(la), float(lo), r_outer_m, n_vertices)
             else:
                 clip = gm.star_ring_numpy(
                     float(la), float(lo), r_outer_m, r_inner_m, n_vertices
                 )
-            m = gm.overlay_metrics(subj, clip, convex_clip=(mode == "convex"))
+            m = gm.overlay_metrics(subj, clip, convex_clip=cvx)
             if m is None:
                 rows.append(nulls)
             else:
                 pieces, inter, uni, diff = m
-                rings = gm.overlay_intersection_rings(
-                    subj, clip, convex_clip=(mode == "convex")
-                )
+                rings = gm.overlay_intersection_rings(subj, clip, convex_clip=cvx)
+                d_rings = gm.overlay_difference_rings(subj, clip, convex_clip=cvx)
+                u_rings = gm.overlay_union_rings(subj, clip, convex_clip=cvx)
                 rows.append(
                     (
                         pieces,
@@ -651,13 +653,15 @@ def clip_general_udf(
                         len(rings),
                         int(sum(len(r) - 1 for r in rings)),
                         gm.rings_canonical_wkt(rings),
+                        gm.rings_canonical_wkt(d_rings),
+                        gm.rings_canonical_wkt(u_rings),
                     )
                 )
         return pd.DataFrame(
             rows,
             columns=[
                 "n_pieces", "inter_e12", "union_e12", "diff_e12",
-                "n_rings", "ring_pts", "geom_wkt",
+                "n_rings", "ring_pts", "geom_wkt", "diff_wkt", "union_wkt",
             ],
         )
 

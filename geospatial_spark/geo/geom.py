@@ -732,13 +732,88 @@ def overlay_intersection_rings(
             out = clip_ring_convex(subject_ring, np.vstack([tri, tri[:1]]))
             if out is not None:
                 pieces.append(out)
+    # every piece is a positive region → normalize CCW before dissolving
+    return _dissolve_rings([(p, 1) for p in pieces], quant)
 
+
+def overlay_difference_rings(
+    subject_ring: np.ndarray,
+    clip_ring: np.ndarray,
+    *,
+    convex_clip: bool = False,
+    quant: float = 1e-9,
+) -> list[np.ndarray]:
+    """GEOMETRY of subject ∖ clip (reference poverlay ``how="difference"``):
+    ∂(A∖B) = dissolve(∂A + reversed ∂(A∩B)) — the intersection's boundary
+    segments lying ON ∂A cancel against ∂A, the rest (inside A) survive
+    reversed as the cut.  Holes are legitimate here (clip strictly inside
+    subject → annulus) and come out as CW rings; membership is even-odd
+    over all rings and the signed area sum equals |A| − |A∩B| exactly."""
+    inter = overlay_intersection_rings(
+        subject_ring, clip_ring, convex_clip=convex_clip, quant=quant
+    )
+    return _dissolve_rings(
+        [(np.asarray(subject_ring, dtype=np.float64), 1)]
+        + [(r, -1) for r in inter],
+        quant,
+    )
+
+
+def overlay_union_rings(
+    subject_ring: np.ndarray,
+    clip_ring: np.ndarray,
+    *,
+    convex_clip: bool = False,
+    quant: float = 1e-9,
+) -> list[np.ndarray]:
+    """GEOMETRY of subject ∪ clip (reference poverlay ``how="union"``):
+    A ∪ B = A ⊎ (B∖A), a disjoint region union whose shared boundary
+    segments are traversed in opposite directions and cancel —
+    ∂(A∪B) = dissolve(∂A + ∂(B∖A)), with B∖A's ring orientations kept
+    as produced (CCW shells, CW holes).  Signed area sum equals
+    |A| + |B| − |A∩B| exactly."""
+    diff_ba = overlay_difference_rings(
+        clip_ring, subject_ring, convex_clip=False, quant=quant
+    )
+    return _dissolve_rings(
+        [(np.asarray(subject_ring, dtype=np.float64), 1)]
+        + [(r, 0) for r in diff_ba],
+        quant,
+    )
+
+
+def _dissolve_rings(
+    oriented_rings: list[tuple[np.ndarray, int]], quant: float
+) -> list[np.ndarray]:
+    """Shared boundary-dissolve core: quantize each (ring, orient) to the
+    e9 integer grid (orient +1 → force CCW, −1 → force CW, 0 → keep), split
+    every directed edge at collinear in-between vertices, cancel
+    opposite-direction pairs, and chain what survives into rings with a
+    leftmost-turn trace.
+
+    The collinear split uses exact Python-int arithmetic (coordinates
+    reach ~1.8e11 on the e9 grid, so int64 cross products would overflow);
+    it exists because Sutherland–Hodgman emits zero-width bridge edges
+    along a chord that can JUMP over vertices the adjacent triangle's
+    piece does have, and cancellation must happen at a common segment
+    granularity.  The leftmost turn keeps the region interior on the left
+    through pinch vertices, so output rings never cross (a
+    smallest-successor heuristic mis-pairs in/out edges at pinches and
+    produces wound, mutually-overlapping rings; seen on a clip vertex
+    lying exactly on a subject edge).  A boundary that cancels away
+    entirely (A∖A, sub-quantum slivers) is an empty region — returns [];
+    an OPEN chain raises (non-general-position input) rather than
+    returning a wrong geometry.  T-junction collinear vertices are
+    simplified out of the output."""
+    import math as _math
     from collections import Counter
 
     raw_edges: list[tuple[tuple[int, int], tuple[int, int]]] = []
     verts: set[tuple[int, int]] = set()
-    total_area2 = 0
-    for ring in pieces:
+    for ring, orient in oriented_rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
         q = np.round(ring[:-1] / quant).astype(np.int64)
         # drop consecutive duplicates created by quantization
         keep = np.ones(len(q), dtype=bool)
@@ -748,25 +823,18 @@ def overlay_intersection_rings(
             q = q[:-1]
         if len(q) < 3:
             continue
-        # normalize to CCW in quantized space so orientations cancel
         area2 = int(
             np.sum(q[:, 0] * np.roll(q[:, 1], -1) - np.roll(q[:, 0], -1) * q[:, 1])
         )
         if area2 == 0:
             continue
-        total_area2 += abs(area2)
-        if area2 < 0:
+        if orient != 0 and (area2 > 0) != (orient > 0):
             q = q[::-1]
         for a, b in zip(q, np.roll(q, -1, axis=0)):
             raw_edges.append((tuple(int(x) for x in a), tuple(int(x) for x in b)))
             verts.add(raw_edges[-1][0])
 
-    # split every edge at collinear in-between vertices (exact Python-int
-    # arithmetic — coordinates reach ~1.8e11 on the e9 grid, so int64 cross
-    # products would overflow): Sutherland–Hodgman emits zero-width bridge
-    # edges along a chord that can JUMP over vertices the adjacent
-    # triangle's piece does have, and cancellation must happen at a common
-    # segment granularity
+    # split at collinear vertices, then cancel opposite-direction pairs
     edges: Counter[tuple[tuple[int, int], tuple[int, int]]] = Counter()
     for u, v in raw_edges:
         if u == v:
@@ -786,32 +854,13 @@ def overlay_intersection_rings(
         for a, b in zip(chain, chain[1:]):
             edges[(a, b)] += 1
 
-    # cancel opposite-direction pairs (internal chords)
     boundary: list[tuple[tuple[int, int], tuple[int, int]]] = []
     for (u, v), n in edges.items():
-        n_rev = edges.get((v, u), 0)
-        net = n - n_rev
+        net = n - edges.get((v, u), 0)
         if net > 0:
             boundary.extend([(u, v)] * net)
     if not boundary:
-        # a sliver thinner than the quantization grid (every piece
-        # quantized to zero area, or all edges double-covered) has no
-        # geometry at e9 resolution — empty result, NOT an error; raise
-        # only on the impossible case of surviving area with no boundary
-        if total_area2 > 0:
-            raise ValueError(
-                "overlay_intersection_rings: boundary cancelled away with "
-                "nonzero quantized area"
-            )
         return []
-    # chain directed boundary edges into rings.  At a pinch vertex
-    # (several outgoing edges) take the LEFTMOST turn relative to the
-    # incoming direction — the standard planar boundary trace that keeps
-    # the region interior on the left of a CCW boundary, so rings never
-    # cross (a smallest-successor heuristic mis-pairs in/out edges at
-    # pinches and produces wound, mutually-overlapping rings; seen on a
-    # clip vertex lying exactly on a subject edge)
-    import math as _math
 
     succ: dict[tuple[int, int], list[tuple[int, int]]] = {}
     for u, v in boundary:
@@ -845,7 +894,7 @@ def overlay_intersection_rings(
                 nxts = succ.get(cur)
                 if not nxts:
                     raise ValueError(
-                        "overlay_intersection_rings: open boundary chain "
+                        "_dissolve_rings: open boundary chain "
                         f"at {cur} (non-general-position input?)"
                     )
                 nxt = _take_leftmost(cur, prev)

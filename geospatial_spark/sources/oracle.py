@@ -308,29 +308,32 @@ def clip_general_values() -> str:
                 # the map carries md5(canonical WKT) — Spark computes
                 # F.md5(geom_wkt) over the SAME kernel's string, so the
                 # geometry itself is value-pinned cross-engine
-                rings = gm.overlay_intersection_rings(
-                    subj, clip, convex_clip=(mode == "convex")
-                )
-                wkt = gm.rings_canonical_wkt(rings)
-                # a sub-quantum sliver has metrics but no e9 geometry —
-                # NULL wkt/md5 on both engines
-                md5 = (
-                    f"'{_hashlib.md5(wkt.encode()).hexdigest()}'"
-                    if wkt is not None
-                    else "NULL"
-                )
+                cvx = mode == "convex"
+                rings = gm.overlay_intersection_rings(subj, clip, convex_clip=cvx)
+                d_rings = gm.overlay_difference_rings(subj, clip, convex_clip=cvx)
+                u_rings = gm.overlay_union_rings(subj, clip, convex_clip=cvx)
+
+                def _md5(rs):
+                    # a sub-quantum sliver has metrics but no e9 geometry
+                    # — NULL wkt/md5 on both engines
+                    wkt = gm.rings_canonical_wkt(rs)
+                    if wkt is None:
+                        return "NULL"
+                    return f"'{_hashlib.md5(wkt.encode()).hexdigest()}'"
+
                 vals.append(
                     f"('{rid}', '{name}', '{mode}', {pieces}, "
                     f"{int(np.floor(inter * 1e12 + 0.5))}, "
                     f"{int(np.floor(uni * 1e12 + 0.5))}, "
                     f"{int(np.floor(diff * 1e12 + 0.5))}, "
-                    f"{len(rings)}, {sum(len(r) - 1 for r in rings)}, {md5})"
+                    f"{len(rings)}, {sum(len(r) - 1 for r in rings)}, "
+                    f"{_md5(rings)}, {_md5(d_rings)}, {_md5(u_rings)})"
                 )
     if not vals:
         raise RuntimeError("clip_general_values: empty kernel map")
     return (
         "cgm(region_id, name, mode, n_pieces, inter_e12, union_e12, diff_e12, "
-        "n_rings, ring_pts, geom_md5) "
+        "n_rings, ring_pts, geom_md5, diff_md5, union_md5) "
         f"AS (VALUES {', '.join(vals)})"
     )
 

@@ -239,3 +239,67 @@ def test_rings_canonical_wkt_deterministic():
     assert w1 == w2
     assert w1.startswith("MULTIPOLYGON (((")
     assert gm.rings_canonical_wkt([]) is None
+
+
+def _check_boolean_rings(subj, clip, label=""):
+    """Union/difference geometry invariants: signed area sums match the
+    exact closed-form metrics, and even-odd point membership matches the
+    source polygons for all three ops (holes = CW rings)."""
+    met = gm.overlay_metrics(subj, clip)
+    a_s = abs(gm.ring_area_planar(_closed(subj)))
+    a_c = abs(gm.ring_area_planar(_closed(clip)))
+    inter = met[1] if met else 0.0
+    dr = gm.overlay_difference_rings(subj, clip)
+    ur = gm.overlay_union_rings(subj, clip)
+    d_area = sum(gm.ring_area_planar(r) for r in dr)
+    u_area = sum(gm.ring_area_planar(r) for r in ur)
+    assert d_area == pytest.approx(a_s - inter, abs=1e-8)
+    assert u_area == pytest.approx(a_s + a_c - inter, abs=1e-8)
+    rng = np.random.default_rng(13)
+    allc = np.vstack([_closed(subj)[:-1], _closed(clip)[:-1]])
+    lo, hi = allc.min(0) - 0.02, allc.max(0) + 0.02
+    for px, py in rng.uniform(lo, hi, size=(600, 2)):
+        in_a = _pip(_closed(subj), px, py)
+        in_b = _pip(_closed(clip), px, py)
+        assert (sum(_pip(r, px, py) for r in dr) % 2 == 1) == (in_a and not in_b)
+        assert (sum(_pip(r, px, py) for r in ur) % 2 == 1) == (in_a or in_b)
+    return dr, ur
+
+
+def test_difference_union_rings_concave_star():
+    subj = gm.l_ring_from_bbox(0.0, 0.0, 1.0, 1.0)
+    star = gm.star_ring_numpy(0.45, 0.45, 40000.0, 22000.0, 16)
+    _check_boolean_rings(subj, star)
+
+
+def test_difference_makes_a_hole():
+    """Clip strictly inside the subject: the difference is an annulus —
+    outer CCW shell + inner CW hole, even-odd membership."""
+    subj = gm.l_ring_from_bbox(0.0, 0.0, 1.0, 1.0)
+    gon = gm.buffer_ring_numpy(0.25, 0.25, 8000.0, 16)
+    dr, ur = _check_boolean_rings(subj, gon)
+    assert len(dr) == 2
+    areas = sorted(gm.ring_area_planar(r) for r in dr)
+    assert areas[0] < 0 < areas[1]  # one CW hole, one CCW shell
+
+
+def test_difference_union_disjoint_and_self():
+    subj = gm.l_ring_from_bbox(0.0, 0.0, 1.0, 1.0)
+    far = gm.buffer_ring_numpy(3.0, 3.0, 8000.0, 16)
+    dr, ur = _check_boolean_rings(subj, far)
+    assert len(dr) == 1 and len(ur) == 2  # disjoint: diff = A, union = A + B
+    # A \ A = empty, A U A = A
+    assert gm.overlay_difference_rings(subj, subj.copy()) == []
+    u = gm.overlay_union_rings(subj, subj.copy())
+    assert sum(gm.ring_area_planar(r) for r in u) == pytest.approx(
+        abs(gm.ring_area_planar(subj)), abs=1e-12
+    )
+
+
+def test_difference_union_l_x_l_exact():
+    """L\\L' and LUL' on the hand-computed concave pair (areas 2 and 5)."""
+    A = gm.l_ring_from_bbox(0.0, 0.0, 2.0, 2.0)
+    B = gm.l_ring_from_bbox(1.0, 0.0, 3.0, 2.0)
+    dr, ur = _check_boolean_rings(A, B)
+    assert sum(gm.ring_area_planar(r) for r in dr) == pytest.approx(2.0, abs=1e-9)
+    assert sum(gm.ring_area_planar(r) for r in ur) == pytest.approx(5.0, abs=1e-9)
