@@ -303,3 +303,49 @@ def test_difference_union_l_x_l_exact():
     dr, ur = _check_boolean_rings(A, B)
     assert sum(gm.ring_area_planar(r) for r in dr) == pytest.approx(2.0, abs=1e-9)
     assert sum(gm.ring_area_planar(r) for r in ur) == pytest.approx(5.0, abs=1e-9)
+
+
+@given(
+    st.lists(st.floats(min_value=0.2, max_value=1.0), min_size=5, max_size=16),
+    st.lists(st.floats(min_value=0.2, max_value=1.0), min_size=5, max_size=16),
+    st.floats(min_value=0.0, max_value=6.28),
+    st.floats(min_value=-0.8, max_value=0.8),
+    st.floats(min_value=-0.8, max_value=0.8),
+)
+@settings(max_examples=40, deadline=None)
+def test_boolean_geometry_property_random_star_pairs(ra, rb, phase, dx, dy):
+    """Property over random star-shaped (arbitrarily concave) pairs: the
+    dissolved intersection/difference/union ring geometries have signed
+    areas equal to the exact metrics and even-odd membership matching the
+    source polygons on sampled points."""
+    na, nb = len(ra), len(rb)
+    tha = 2.0 * np.pi * np.arange(na) / na
+    thb = phase + 2.0 * np.pi * np.arange(nb) / nb
+    A = np.column_stack([np.asarray(ra) * np.cos(tha), np.asarray(ra) * np.sin(tha)])
+    A = np.vstack([A, A[:1]])
+    B = np.column_stack(
+        [dx + np.asarray(rb) * np.cos(thb), dy + np.asarray(rb) * np.sin(thb)]
+    )
+    B = np.vstack([B, B[:1]])
+    met = gm.overlay_metrics(A, B)
+    rings = gm.overlay_intersection_rings(A, B)
+    inter = met[1] if met is not None else 0.0
+    assert sum(gm.ring_area_planar(r) for r in rings) == pytest.approx(
+        inter, abs=1e-7
+    )
+    dr = gm.overlay_difference_rings(A, B)
+    ur = gm.overlay_union_rings(A, B)
+    a_a = abs(gm.ring_area_planar(A))
+    a_b = abs(gm.ring_area_planar(B))
+    assert sum(gm.ring_area_planar(r) for r in dr) == pytest.approx(
+        a_a - inter, abs=1e-7
+    )
+    assert sum(gm.ring_area_planar(r) for r in ur) == pytest.approx(
+        a_a + a_b - inter, abs=1e-7
+    )
+    rng = np.random.default_rng(17)
+    for px, py in rng.uniform(-1.9, 1.9, size=(120, 2)):
+        in_a, in_b = _pip(A, px, py), _pip(B, px, py)
+        assert (sum(_pip(r, px, py) for r in rings) % 2 == 1) == (in_a and in_b)
+        assert (sum(_pip(r, px, py) for r in dr) % 2 == 1) == (in_a and not in_b)
+        assert (sum(_pip(r, px, py) for r in ur) % 2 == 1) == (in_a or in_b)
