@@ -834,21 +834,32 @@ def _dissolve_rings(
             raw_edges.append((tuple(int(x) for x in a), tuple(int(x) for x in b)))
             verts.add(raw_edges[-1][0])
 
-    # split at collinear vertices, then cancel opposite-direction pairs
+    # split at (near-)collinear vertices, then cancel opposite-direction
+    # pairs.  Tolerance: a vertex within 2 grid units of the edge's line
+    # snaps onto the chain — required when cancelling MIXED-precision
+    # boundaries (the difference/union algebra cancels quantized crossing
+    # segments against ORIGINAL polygon edges; exact collinearity on the
+    # int grid almost never holds there, and surviving near-parallel
+    # opposite edges derail the boundary trace into finite wrong lobes —
+    # found by the hypothesis property test).  The snap kinks a chain by
+    # ≤ 2e-9 deg, the same order as quantization itself.
+    K2 = 4  # tolerance² in grid units
     edges: Counter[tuple[tuple[int, int], tuple[int, int]]] = Counter()
     for u, v in raw_edges:
         if u == v:
             continue
         dx, dy = v[0] - u[0], v[1] - u[1]
+        len2 = dx * dx + dy * dy
         on = []
         for p in verts:
             if p == u or p == v:
                 continue
             px, py = p[0] - u[0], p[1] - u[1]
-            if dx * py - dy * px != 0:
-                continue  # not collinear
+            cr = dx * py - dy * px
+            if cr * cr > K2 * len2:
+                continue  # farther than 2 grid units from the line
             t = px * dx + py * dy  # position along the edge, scaled
-            if 0 < t < dx * dx + dy * dy:
+            if 0 < t < len2:
                 on.append((t, p))
         chain = [u] + [p for _, p in sorted(on)] + [v]
         for a, b in zip(chain, chain[1:]):
