@@ -267,6 +267,118 @@ def write_partitioned(
     return man
 
 
+def append_batch(
+    df: DataFrame,
+    root: str,
+    table: str,
+    *,
+    stage: str,
+    key_col: str,
+    n_partitions: int = 16,
+    batch_tag: str,
+    fail_before_swap: bool = False,
+) -> dict[str, Any]:
+    """IDEMPOTENT append of one tagged batch — the icelite half of an
+    exactly-once streaming sink (streaming/sink.py): the caller derives
+    ``batch_tag`` deterministically from the Structured Streaming batch id,
+    and a tag already in the manifest is a REPLAY — skipped without
+    touching data, so checkpoint recovery can re-offer a committed batch
+    any number of times (the standard exactly-once contract: replayable
+    source + idempotent sink).
+
+    A batch that previously CRASHED mid-write (data dir present, manifest
+    never swapped) is an orphan: the normal GC removes it before the
+    rewrite, so a retry can never double its rows.  Partition ids are
+    namespaced per batch (manifest record keys are (batch_tag, pid));
+    ``read_table``/``lineage`` work unchanged.  ``fail_before_swap``
+    injects the crash for tests."""
+    _assert_local_root(root)
+    if "/" in batch_tag or "=" in batch_tag:
+        raise ValueError(f"invalid batch_tag {batch_tag!r}")
+    man = current_manifest(root, table)
+    if man is not None:
+        if any(rec.get("batch") == batch_tag for rec in man["partitions"]):
+            return man  # replayed batch — already committed, exactly-once
+        if man.get("key_col") != key_col:
+            raise ValueError(
+                f"append to table {table!r} with key_col={key_col!r} but "
+                f"manifest committed key_col={man.get('key_col')!r}"
+            )
+    else:
+        man = {
+            "table": table,
+            "schema": df.schema.simpleString(),
+            "stage": stage,
+            "key_col": key_col,
+            "n_partitions": n_partitions,
+            "version": 0,
+            "range_bounds": None,
+            "partitions": [],
+        }
+    _gc_orphan_batches(root, table, man)  # removes THIS tag's crashed try too
+
+    pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_partitions)).cast("int")
+    staged = df.withColumn("__pid", pid).withColumn("__batch", F.lit(batch_tag))
+    (
+        staged.write.mode("append")
+        .partitionBy("__batch", "__pid")
+        .parquet(_data_dir(root, table))
+    )
+    if fail_before_swap:
+        raise RuntimeError(
+            f"injected failure after data write of batch {batch_tag!r}, "
+            "before manifest swap (exactly-once crash-window test)"
+        )
+    batch_dir = f"{_data_dir(root, table)}/__batch={batch_tag}"
+    if os.path.isdir(batch_dir):
+        written = df.sparkSession.read.parquet(batch_dir)
+        stats = (
+            written.groupBy("__pid")
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.min(F.col(key_col).cast("bigint")).alias("key_min"),
+                F.max(F.col(key_col).cast("bigint")).alias("key_max"),
+                F.expr(
+                    "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+                ).alias("checksum"),
+            )
+            .collect()
+        )
+    else:
+        stats = []  # empty micro-batch: still commit the tag (replay skip)
+    now = time.time()
+    base_pid = man["version"] * n_partitions
+    for r in sorted(stats, key=lambda r: r["__pid"]):
+        man["partitions"].append(
+            {
+                "partition_id": base_pid + r["__pid"],
+                "batch": batch_tag,
+                "row_count": r["row_count"],
+                "key_min": r["key_min"],
+                "key_max": r["key_max"],
+                "checksum": r["checksum"],
+                "stage": stage,
+                "committed_at": now,
+            }
+        )
+    if not stats:
+        man["partitions"].append(
+            {
+                "partition_id": base_pid,
+                "batch": batch_tag,
+                "row_count": 0,
+                "key_min": None,
+                "key_max": None,
+                "checksum": 0,
+                "stage": stage,
+                "committed_at": now,
+            }
+        )
+    man["version"] += 1
+    _swap_manifest(root, table, man)
+    return man
+
+
 def _gc_orphan_batches(root: str, table: str, man: dict[str, Any]) -> None:
     """Remove ``__batch=...`` directories no manifest record references —
     the leftovers of a write that was killed before its manifest swap.
@@ -362,7 +474,9 @@ def read_table(
     batches = sorted(
         {rec["batch"] for rec in man["partitions"] if rec.get("batch")}
     )
-    if not batches:
+    if not batches or not os.path.isdir(_data_dir(root, table)):
+        # no committed batches, or every committed batch was empty (an
+        # empty micro-batch commits its tag but writes no files)
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromDDL(man["schema"]))

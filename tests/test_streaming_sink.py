@@ -1,0 +1,160 @@
+"""Exactly-once streaming→icelite sink: a multi-batch replay of the events
+fixture commits per-micro-batch lineage into the icelite manifest; restart
+from checkpoint never double-commits; the data-written-but-not-swapped
+crash window is GC'd and rewritten, not duplicated."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time as _time
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_spark.icelite import catalog as ice
+from geospatial_spark.streaming import sink as snk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _split_events(spark, src_dir, n_parts=4):
+    """Events fixture as n chronological parquet files with pinned mtimes
+    (FileStreamSource orders by mtime — write-task completion order is
+    nondeterministic)."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    (
+        events.orderBy("ts")
+        .withColumn("part", F.ntile(n_parts).over(Window.orderBy("ts")))
+        .repartitionByRange(n_parts, "part")
+        .write.partitionBy("part")
+        .parquet(str(src_dir))
+    )
+    base = _time.time()
+    for k in range(1, n_parts + 1):
+        for f in glob.glob(str(src_dir / f"part={k}") + "/*"):
+            os.utime(f, (base + k, base + k))
+    return events
+
+
+def _stream(spark, src_dir, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+
+
+def test_stream_sink_exactly_once_with_restart(spark, tmp_path):
+    events = _split_events(spark, tmp_path / "src")
+    schema = events.withColumn("part", F.lit(1)).schema
+    root, ckpt = str(tmp_path / "ice"), str(tmp_path / "ckpt")
+
+    q = snk.stream_to_icelite(
+        _stream(spark, tmp_path / "src", schema).drop("part"),
+        root, "ev", stage="ingest", key_col="event_id",
+        n_partitions=4, checkpoint_dir=ckpt,
+    )
+    q.awaitTermination()
+    man = ice.current_manifest(root, "ev")
+    tags = {rec["batch"] for rec in man["partitions"]}
+    assert tags == {"sb0", "sb1", "sb2", "sb3"}  # one commit per micro-batch
+    got = ice.read_table(spark, root, "ev")
+    assert got.count() == events.count()
+    # lineage: per-partition rows sum to the input, checksums present
+    lin = ice.lineage(spark, root, "ev").collect()
+    assert sum(r["row_count"] for r in lin) == events.count()
+
+    # restart from the SAME checkpoint with one new file: only the new
+    # micro-batch commits; nothing is double-committed
+    extra = events.orderBy("event_id").limit(7).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 365 DAYS")
+    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    extra.withColumn("part", F.lit(9)).coalesce(1).write.partitionBy(
+        "part"
+    ).mode("append").parquet(str(tmp_path / "src"))
+    for f in glob.glob(str(tmp_path / "src" / "part=9") + "/*"):
+        os.utime(f, (_time.time() + 99, _time.time() + 99))
+
+    q2 = snk.stream_to_icelite(
+        _stream(spark, tmp_path / "src", schema).drop("part"),
+        root, "ev", stage="ingest", key_col="event_id",
+        n_partitions=4, checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination()
+    man2 = ice.current_manifest(root, "ev")
+    tags2 = {rec["batch"] for rec in man2["partitions"]}
+    assert tags2 == {"sb0", "sb1", "sb2", "sb3", "sb4"}
+    assert ice.read_table(spark, root, "ev").count() == events.count() + 7
+    # replayed tags kept their ORIGINAL commit rows (no rewrite)
+    by_tag_v1 = {
+        (rec["batch"], rec["partition_id"]): rec["checksum"]
+        for rec in man["partitions"]
+    }
+    for key, cks in by_tag_v1.items():
+        match = [
+            rec for rec in man2["partitions"]
+            if (rec["batch"], rec["partition_id"]) == key
+        ]
+        assert len(match) == 1 and match[0]["checksum"] == cks
+
+
+def test_append_batch_replay_is_noop(spark, tmp_path):
+    df = spark.read.parquet(f"{SF}/events.parquet").limit(100)
+    root = str(tmp_path / "ice")
+    m1 = ice.append_batch(
+        df, root, "t", stage="s", key_col="event_id", n_partitions=4,
+        batch_tag="sb0",
+    )
+    v1 = m1["version"]
+    # replay: same tag offered again (checkpoint recovery) — must be a no-op
+    m2 = ice.append_batch(
+        df, root, "t", stage="s", key_col="event_id", n_partitions=4,
+        batch_tag="sb0",
+    )
+    assert m2["version"] == v1
+    assert ice.read_table(spark, root, "t").count() == 100
+
+
+def test_append_batch_crash_window_retry_no_dup(spark, tmp_path):
+    """Crash AFTER the data write, BEFORE the manifest swap: the retry must
+    GC the orphan and land exactly one copy of the rows."""
+    df = spark.read.parquet(f"{SF}/events.parquet").limit(100)
+    root = str(tmp_path / "ice")
+    ice.append_batch(
+        df, root, "t", stage="s", key_col="event_id", n_partitions=4,
+        batch_tag="sb0",
+    )
+    with pytest.raises(RuntimeError, match="before manifest swap"):
+        ice.append_batch(
+            df, root, "t", stage="s", key_col="event_id", n_partitions=4,
+            batch_tag="sb1", fail_before_swap=True,
+        )
+    # reader never sees the orphan
+    assert ice.read_table(spark, root, "t").count() == 100
+    # retry of the same batch id: exactly one copy
+    ice.append_batch(
+        df, root, "t", stage="s", key_col="event_id", n_partitions=4,
+        batch_tag="sb1",
+    )
+    assert ice.read_table(spark, root, "t").count() == 200
+    tags = {r["batch"] for r in ice.current_manifest(root, "t")["partitions"]}
+    assert tags == {"sb0", "sb1"}
+
+
+def test_append_batch_key_mismatch_and_bad_tag(spark, tmp_path):
+    df = spark.read.parquet(f"{SF}/events.parquet").limit(10)
+    root = str(tmp_path / "ice")
+    ice.append_batch(
+        df, root, "t", stage="s", key_col="event_id", batch_tag="sb0"
+    )
+    with pytest.raises(ValueError, match="key_col"):
+        ice.append_batch(
+            df, root, "t", stage="s", key_col="user_id", batch_tag="sb1"
+        )
+    with pytest.raises(ValueError, match="batch_tag"):
+        ice.append_batch(
+            df, root, "t", stage="s", key_col="event_id", batch_tag="a/b"
+        )
