@@ -931,10 +931,16 @@ def _dissolve_rings(
 
 
 def rings_canonical_wkt(rings: list[np.ndarray], quant: float = 1e-9) -> str | None:
-    """Canonical MULTIPOLYGON-style WKT of dissolved intersection rings:
+    """Canonical MULTIPOLYGON-style WKT of dissolved overlay rings:
     vertices rendered as exact fixed-9 decimals from the e9 integer grid
     (engine-portable — no float printf), each ring rotated to start at its
-    lexicographically-smallest vertex, rings sorted.  None when empty."""
+    lexicographically-smallest vertex, rings sorted.  None when empty.
+
+    Rings are serialized FLAT with their traced orientation preserved —
+    for difference/union outputs a hole is a CW ring listed as its own
+    polygon, and containment is even-odd over all rings (documented
+    divergence from nested-ring WKT; the canonical form exists to pin the
+    geometry value cross-engine, not to feed a strict OGC reader)."""
     if not rings:
         return None
     parts = []

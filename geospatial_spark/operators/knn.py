@@ -105,31 +105,31 @@ def knn_join_cellring_planned(
     n_lon: str = "lon",
     name: str = "name",
 ) -> DataFrame:
-    """Cell-ring kNN with (precision, max_ring) chosen by the planner from
-    the neighbor-set density (plans.planner.choose_knn_params: coarse
+    """Cell-ring kNN with (precision, initial ring) chosen by the planner
+    from the neighbor-set density (plans.planner.choose_knn_params: coarse
     enough that the expected ring population covers ≥ 4k candidates, fine
     enough to bound the candidate join).  One count on the neighbor side;
     the driver's `knn_cellring` query pins (p2, ring 3) for oracle
     stability — this wrapper is the production entry point where the
     neighbor table is data, not a fixture.
 
-    Caveat (inherited from knn_join_cellring and worth repeating because
-    the planner uses GLOBAL average density): a spatially clustered
-    neighbor set makes points in sparse regions return fewer than k rows
-    — the ring window around e.g. an Australian point over a Europe-only
-    neighbor table can be empty, with no error.  For skewed neighbor
-    geography use knn_join_broadcast (small sets) or pass explicit
-    coarser (precision, max_ring) to knn_join_cellring."""
+    Since round 4 this routes through the ADAPTIVE escalation
+    (``knn_join_cellring_adaptive``): the planner's ring sizes the CHEAP
+    first round for average density, points in sparse regions escalate to
+    a 3×-wider ring, and the provably-hard tail gets the exact broadcast
+    fallback — output is exact global kNN at any density skew (the old
+    fixed-ring routing silently returned fewer than k rows around e.g. an
+    Australian point over a Europe-heavy neighbor table)."""
     from ..plans import planner
 
     n = neighbors_df.count()
     precision, max_ring = planner.choose_knn_params(n, k)
-    return knn_join_cellring(
+    return knn_join_cellring_adaptive(
         points_df,
         neighbors_df,
         k=k,
         precision=precision,
-        max_ring=max_ring,
+        rings=(max_ring, 3 * max_ring + 1),
         lat=lat,
         lon=lon,
         n_lat=n_lat,
