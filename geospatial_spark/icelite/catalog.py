@@ -507,7 +507,12 @@ def partitions_for_range(
 
 
 def read_range(
-    spark: SparkSession, root: str, table: str, lo: int, hi: int
+    spark: SparkSession,
+    root: str,
+    table: str,
+    lo: int,
+    hi: int,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Cell-range read using the per-partition lineage bounds as a
     file-pruning index — the payoff of range-partitioning on the
@@ -516,8 +521,15 @@ def read_range(
     [key_min, key_max] overlaps [lo, hi] are listed; ``__batch``/``__pid``
     are partition columns, so the isin filters prune at file-listing time
     and non-overlapping partition directories are never opened.  The exact
-    residual key predicate then applies on the survivors."""
-    man = current_manifest(root, table)
+    residual key predicate then applies on the survivors.
+
+    ``as_of=<version>`` prunes against snapshot vN's manifest instead
+    (same time-travel semantics as ``read_table``)."""
+    man = (
+        current_manifest(root, table)
+        if as_of is None
+        else manifest_at(root, table, as_of)
+    )
     if man is None:
         raise FileNotFoundError(f"no committed manifest for {table} under {root}")
     key_col = man["key_col"]
@@ -544,9 +556,16 @@ def read_range(
     )
 
 
-def lineage(spark: SparkSession, root: str, table: str) -> DataFrame:
-    """The lineage/metrics table as a DataFrame (from the manifest)."""
-    man = current_manifest(root, table)
+def lineage(
+    spark: SparkSession, root: str, table: str, as_of: int | None = None
+) -> DataFrame:
+    """The lineage/metrics table as a DataFrame (from the manifest; pass
+    ``as_of=<version>`` for the metrics exactly as of that snapshot)."""
+    man = (
+        current_manifest(root, table)
+        if as_of is None
+        else manifest_at(root, table, as_of)
+    )
     rows = [
         (
             rec["stage"],

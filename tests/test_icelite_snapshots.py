@@ -129,6 +129,31 @@ def test_unswapped_manifest_is_not_a_snapshot(spark, workdir):
     assert ice.read_table(spark, workdir, "t").count() == df.count()
 
 
+def test_read_range_and_lineage_as_of(spark, workdir):
+    """read_range/lineage time-travel: pruning bounds and metrics come
+    from the pinned snapshot's manifest, not the head."""
+    df = _src(spark)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ice.write_partitioned(
+            df, workdir, "t", stage="s1", key_col="key", batch_size=1,
+            fail_after_batches=2, range_bounds=[100, 250],
+        )
+    v = ice.current_manifest(workdir, "t")["version"]
+    ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", batch_size=2,
+        range_bounds=[100, 250],
+    )
+    assert ice.current_manifest(workdir, "t")["version"] > v
+    # lineage as of v: exactly the first two batch commits
+    lin_v = ice.lineage(spark, workdir, "t", as_of=v).collect()
+    assert len(lin_v) == 2
+    # range read pinned at v sees only rows committed by then
+    pinned = ice.read_range(spark, workdir, "t", 0, 10**9, as_of=v)
+    head = ice.read_range(spark, workdir, "t", 0, 10**9)
+    assert pinned.count() == sum(r["row_count"] for r in lin_v)
+    assert head.count() == df.count()
+
+
 def test_missing_snapshot_raises_with_available_list(spark, workdir):
     df = _src(spark)
     ice.write_partitioned(
