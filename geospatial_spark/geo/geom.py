@@ -804,7 +804,13 @@ def _dissolve_rings(
     entirely (A∖A, sub-quantum slivers) is an empty region — returns [];
     an OPEN chain raises (non-general-position input) rather than
     returning a wrong geometry.  T-junction collinear vertices are
-    simplified out of the output."""
+    simplified out of the output.
+
+    Cost: the split is O(V·E) Python-int work over the pair's combined
+    vertex/edge count — ~8 ms for a 16-vertex fixture pair, ~100 ms at
+    128 vertices (all three ops).  This is a per-PAIR kernel inside an
+    Arrow batch; the distributed plan bounds pairs per task, so the
+    quadratic term never sees a whole table."""
     import math as _math
     from collections import Counter
 

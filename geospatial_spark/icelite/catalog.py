@@ -109,6 +109,32 @@ def _swap_manifest(root: str, table: str, manifest: dict[str, Any]) -> None:
     os.rename(tmpv, os.path.join(md, "VERSION"))  # atomic pointer swap
 
 
+def _batch_stats(df: DataFrame, key_col: str, batch_dir: str) -> list:
+    """Per-partition lineage stats by READING BACK the files just written
+    (not by re-evaluating the input lineage): read_range treats (key_min,
+    key_max) as a correctness-bearing pruning index, and a
+    nondeterministic source re-evaluated for a second stats job could
+    record bounds that disagree with the committed data — silently
+    dropping rows from pruned reads.  The read-back scans only this
+    batch's directory (freshly written, page-cache warm).  Empty batch
+    (partitionBy wrote no files) → []."""
+    if not os.path.isdir(batch_dir):
+        return []
+    written = df.sparkSession.read.parquet(batch_dir)
+    return (
+        written.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.min(F.col(key_col).cast("bigint")).alias("key_min"),
+            F.max(F.col(key_col).cast("bigint")).alias("key_max"),
+            F.expr("bit_xor(xxhash64(" + ", ".join(df.columns) + "))").alias(
+                "checksum"
+            ),
+        )
+        .collect()
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     root: str,
@@ -220,32 +246,9 @@ def write_partitioned(
                 f"injected failure after data write of batch {bi}, before "
                 "manifest swap (crash-window resume test)"
             )
-        # stats are computed by READING BACK the files just written, not by
-        # re-evaluating the input lineage: read_range treats (key_min,
-        # key_max) as a correctness-bearing pruning index, and a
-        # nondeterministic source (unseeded sample, mutated upstream files)
-        # re-evaluated for a second stats job could record bounds that
-        # disagree with the committed data — silently dropping rows from
-        # pruned reads.  The read-back scans only this batch's partition
-        # directory (freshly written, page-cache warm).
-        batch_dir = f"{_data_dir(root, table)}/__batch={bname}"
-        if os.path.isdir(batch_dir):
-            written = df.sparkSession.read.parquet(batch_dir)
-            stats = (
-                written.groupBy("__pid")
-                .agg(
-                    F.count(F.lit(1)).alias("row_count"),
-                    F.min(F.col(key_col).cast("bigint")).alias("key_min"),
-                    F.max(F.col(key_col).cast("bigint")).alias("key_max"),
-                    F.expr(
-                        "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
-                    ).alias("checksum"),
-                )
-                .collect()
-            )
-        else:
-            # every pid in this batch was empty: partitionBy wrote no files
-            stats = []
+        stats = _batch_stats(
+            df, key_col, f"{_data_dir(root, table)}/__batch={bname}"
+        )
         now = time.time()
         by_pid = {r["__pid"]: r for r in stats}
         for p in batch:
@@ -329,23 +332,10 @@ def append_batch(
             f"injected failure after data write of batch {batch_tag!r}, "
             "before manifest swap (exactly-once crash-window test)"
         )
-    batch_dir = f"{_data_dir(root, table)}/__batch={batch_tag}"
-    if os.path.isdir(batch_dir):
-        written = df.sparkSession.read.parquet(batch_dir)
-        stats = (
-            written.groupBy("__pid")
-            .agg(
-                F.count(F.lit(1)).alias("row_count"),
-                F.min(F.col(key_col).cast("bigint")).alias("key_min"),
-                F.max(F.col(key_col).cast("bigint")).alias("key_max"),
-                F.expr(
-                    "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
-                ).alias("checksum"),
-            )
-            .collect()
-        )
-    else:
-        stats = []  # empty micro-batch: still commit the tag (replay skip)
+    # empty micro-batch → [] — still commits the tag below (replay skip)
+    stats = _batch_stats(
+        df, key_col, f"{_data_dir(root, table)}/__batch={batch_tag}"
+    )
     now = time.time()
     base_pid = man["version"] * n_partitions
     for r in sorted(stats, key=lambda r: r["__pid"]):
