@@ -264,7 +264,7 @@ def _q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir).select("url", "entity", "lat", "lon").distinct()
     gaz = src.gazetteer(spark).select("name", "lat", "lon")
     out = knn_ops.knn_join_cellring_adaptive(
-        pts, gaz, k=5, precision=2, rings=(3,)
+        pts, gaz, k=5, precision=2, rings=(3,), broadcast_neighbors=True
     )
     return out.select(
         "url",
@@ -411,7 +411,7 @@ def _q_map_match_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lon_e6") / F.lit(1e6)).alias("lon"),
     )
     nodes = ways_ops.ways_nodes(ways_ops.ways_table(spark))
-    return ways_ops.map_match_cellring(trace, nodes)
+    return ways_ops.map_match_cellring(trace, nodes, broadcast_nodes=True)
 
 
 def _q_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -124,6 +124,10 @@ def knn_join_cellring_planned(
 
     n = neighbors_df.count()
     precision, max_ring = planner.choose_knn_params(n, k)
+    # the count is already paid — use it to pick the join side strategy:
+    # a small neighbor relation broadcasts (an ExistingRDD-backed one has
+    # no size stats and would otherwise SortMergeJoin, shuffling the
+    # exploded probe relation); a large one keeps the keyed shuffle
     return knn_join_cellring_adaptive(
         points_df,
         neighbors_df,
@@ -135,6 +139,7 @@ def knn_join_cellring_planned(
         n_lat=n_lat,
         n_lon=n_lon,
         name=name,
+        broadcast_neighbors=n <= 200_000,
     )
 
 
@@ -149,6 +154,7 @@ def knn_join_cellring_adaptive(
     n_lat: str = "lat",
     n_lon: str = "lon",
     name: str = "name",
+    broadcast_neighbors: bool = False,
 ) -> DataFrame:
     """EXACT kNN via per-point adaptive ring escalation — SURVEY §2.6 N2's
     iterative design (round-3 review item 2: one global ring is either
@@ -236,7 +242,10 @@ def knn_join_cellring_adaptive(
     for ri, ring in enumerate(rings):
         if NI <= 2 * ring + 1:
             break  # ring spans the lon circle — no outside-in-lon bound exists
-        cand = _ring_join(remaining, nb, precision, ring, lat, lon)
+        cand = _ring_join(
+            remaining, nb, precision, ring, lat, lon,
+            broadcast_nb=broadcast_neighbors,
+        )
         ranked = _ranked(cand)
         # satisfaction stats share the rank window's partitioning AND
         # ordering (full-partition frame) — WindowExec appends them to the
@@ -296,12 +305,22 @@ def _ring_join(
     max_ring: int,
     lat: str,
     lon: str,
+    broadcast_nb: bool = False,
 ) -> DataFrame:
     """Grid-quantized Chebyshev-ring candidate join (the shared pure-JVM
     core of the fixed-ring and adaptive kNN paths): explode each point to
     its (2·ring+1)² ring cells on the geohash integer grid (lon wrap via
     pmod, lat cut at the poles), equi-join on the BIGINT grid id.  ``nb``
-    must carry (neighbor_name, __nlat, __nlon)."""
+    must carry (neighbor_name, __nlat, __nlon).
+
+    ``broadcast_nb``: hint the neighbor side broadcast.  This matters
+    because a ``createDataFrame``-backed neighbor relation is an
+    ExistingRDD with UNKNOWN size stats — Catalyst defaults it to
+    Long.Max and plans a SortMergeJoin that shuffles the EXPLODED
+    (2·ring+1)²-per-point probe relation, the single worst shuffle this
+    operator can emit at scale.  Callers that know the neighbor side is
+    small (the planner counts it) must pass True; large-large callers
+    keep the keyed shuffle, which is then the correct plan."""
     from ..geo import geohash as gh
 
     lon_bits, lat_bits = gh._bits(precision)
@@ -340,6 +359,8 @@ def _ring_join(
         "__probe",
         _q(F.col("__nlon"), 180.0, 360.0, NI) * NJ + _q(F.col("__nlat"), 90.0, 180.0, NJ),
     )
+    if broadcast_nb:
+        nbp = F.broadcast(nbp)
     return pts.join(nbp, "__probe", "inner").drop("__probe")
 
 
@@ -354,6 +375,7 @@ def knn_join_cellring(
     n_lat: str = "lat",
     n_lon: str = "lon",
     name: str = "name",
+    broadcast_neighbors: bool = False,
 ) -> DataFrame:
     """Large-large kNN: ring expansion at geohash `precision`.
 
@@ -383,7 +405,10 @@ def knn_join_cellring(
         F.col(n_lat).alias("__nlat"),
         F.col(n_lon).alias("__nlon"),
     )
-    cand = _ring_join(points_df, nb, precision, max_ring, lat, lon)
+    cand = _ring_join(
+        points_df, nb, precision, max_ring, lat, lon,
+        broadcast_nb=broadcast_neighbors,
+    )
     # a neighbor can match via several ring cells? no — each neighbor has ONE
     # cell; the query's ring contains each cell once → no duplicate pairs.
     cand = cand.withColumn(

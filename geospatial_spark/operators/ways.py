@@ -143,6 +143,7 @@ def map_match_cellring(
     lon: str = "lon",
     precision: int = 2,
     max_ring: int = 3,
+    broadcast_nodes: bool = False,
 ) -> DataFrame:
     """O3 at scale: the SAME snap semantics as ``map_match_snap`` routed
     through the cell-ring kNN equi-join (``knn.knn_join_cellring``, k=1) —
@@ -168,7 +169,7 @@ def map_match_cellring(
     )
     out = knn_ops.knn_join_cellring(
         trace_df, nodes, k=1, precision=precision, max_ring=max_ring,
-        lat=lat, lon=lon,
+        lat=lat, lon=lon, broadcast_neighbors=broadcast_nodes,
     )
     key = F.split(F.col("neighbor_name"), "-")
     return out.select(
