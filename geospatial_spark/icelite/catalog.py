@@ -307,6 +307,14 @@ def append_batch(
                 f"append to table {table!r} with key_col={key_col!r} but "
                 f"manifest committed key_col={man.get('key_col')!r}"
             )
+        if n_partitions != man["n_partitions"]:
+            # the per-batch partition_id namespace is version*n_partitions
+            # + pid — mixed widths would interleave ids across batches
+            raise ValueError(
+                f"append to table {table!r} with n_partitions="
+                f"{n_partitions} but manifest committed "
+                f"{man['n_partitions']}"
+            )
     else:
         man = {
             "table": table,

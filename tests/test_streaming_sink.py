@@ -154,6 +154,11 @@ def test_append_batch_key_mismatch_and_bad_tag(spark, tmp_path):
         ice.append_batch(
             df, root, "t", stage="s", key_col="user_id", batch_tag="sb1"
         )
+    with pytest.raises(ValueError, match="n_partitions"):
+        ice.append_batch(
+            df, root, "t", stage="s", key_col="event_id", n_partitions=4,
+            batch_tag="sb1",
+        )
     with pytest.raises(ValueError, match="batch_tag"):
         ice.append_batch(
             df, root, "t", stage="s", key_col="event_id", batch_tag="a/b"
