@@ -641,9 +641,9 @@ def clip_general_udf(
                 rows.append(nulls)
             else:
                 pieces, inter, uni, diff = m
-                rings = gm.overlay_intersection_rings(subj, clip, convex_clip=cvx)
-                d_rings = gm.overlay_difference_rings(subj, clip, convex_clip=cvx)
-                u_rings = gm.overlay_union_rings(subj, clip, convex_clip=cvx)
+                rings, d_rings, u_rings = gm.overlay_boolean_rings(
+                    subj, clip, convex_clip=cvx
+                )
                 rows.append(
                     (
                         pieces,

@@ -772,14 +772,39 @@ def overlay_union_rings(
     ∂(A∪B) = dissolve(∂A + ∂(B∖A)), with B∖A's ring orientations kept
     as produced (CCW shells, CW holes).  Signed area sum equals
     |A| + |B| − |A∩B| exactly."""
-    diff_ba = overlay_difference_rings(
-        clip_ring, subject_ring, convex_clip=False, quant=quant
+    _, _, union = overlay_boolean_rings(
+        subject_ring, clip_ring, convex_clip=convex_clip, quant=quant
     )
-    return _dissolve_rings(
-        [(np.asarray(subject_ring, dtype=np.float64), 1)]
-        + [(r, 0) for r in diff_ba],
-        quant,
+    return union
+
+
+def overlay_boolean_rings(
+    subject_ring: np.ndarray,
+    clip_ring: np.ndarray,
+    *,
+    convex_clip: bool = False,
+    quant: float = 1e-9,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """(intersection, difference, union) ring geometries sharing ONE
+    intersection computation — the triangulate+clip pass dominates the
+    kernel cost, and the three boolean boundaries are all dissolve
+    algebra over the same ∂(A∩B):
+
+        ∂(A∖B) = dissolve(∂A + rev ∂(A∩B))
+        ∂(B∖A) = dissolve(∂B + rev ∂(A∩B))   (A∩B = B∩A as a region)
+        ∂(A∪B) = dissolve(∂A + ∂(B∖A))
+
+    This is what the per-pair UDF and the oracle map call."""
+    subj = np.asarray(subject_ring, dtype=np.float64)
+    cr = np.asarray(clip_ring, dtype=np.float64)
+    inter = overlay_intersection_rings(
+        subj, cr, convex_clip=convex_clip, quant=quant
     )
+    rev = [(r, -1) for r in inter]
+    diff = _dissolve_rings([(subj, 1)] + rev, quant)
+    diff_ba = _dissolve_rings([(cr, 1)] + rev, quant)
+    union = _dissolve_rings([(subj, 1)] + [(r, 0) for r in diff_ba], quant)
+    return inter, diff, union
 
 
 def _dissolve_rings(

@@ -309,9 +309,9 @@ def clip_general_values() -> str:
                 # F.md5(geom_wkt) over the SAME kernel's string, so the
                 # geometry itself is value-pinned cross-engine
                 cvx = mode == "convex"
-                rings = gm.overlay_intersection_rings(subj, clip, convex_clip=cvx)
-                d_rings = gm.overlay_difference_rings(subj, clip, convex_clip=cvx)
-                u_rings = gm.overlay_union_rings(subj, clip, convex_clip=cvx)
+                rings, d_rings, u_rings = gm.overlay_boolean_rings(
+                    subj, clip, convex_clip=cvx
+                )
 
                 def _md5(rs):
                     # a sub-quantum sliver has metrics but no e9 geometry
