@@ -854,16 +854,23 @@ def _dissolve_rings(
             q = q[:-1]
         if len(q) < 3:
             continue
-        area2 = int(
-            np.sum(q[:, 0] * np.roll(q[:, 1], -1) - np.roll(q[:, 0], -1) * q[:, 1])
+        pts_i = [(int(x), int(y)) for x, y in q]
+        # shoelace in exact Python ints: e9-grid coordinates reach
+        # ~1.8e11, so the int64 product (~3e22) overflows SILENTLY and
+        # flips the orientation of any ring far from the origin (caught
+        # by the driver-fixture invariant sweep at lon ~95°; the
+        # synthetic fixtures near the origin sat just under the line)
+        area2 = sum(
+            x1 * y2 - x2 * y1
+            for (x1, y1), (x2, y2) in zip(pts_i, pts_i[1:] + pts_i[:1])
         )
         if area2 == 0:
             continue
         if orient != 0 and (area2 > 0) != (orient > 0):
-            q = q[::-1]
-        for a, b in zip(q, np.roll(q, -1, axis=0)):
-            raw_edges.append((tuple(int(x) for x in a), tuple(int(x) for x in b)))
-            verts.add(raw_edges[-1][0])
+            pts_i = pts_i[::-1]
+        for a, b in zip(pts_i, pts_i[1:] + pts_i[:1]):
+            raw_edges.append((a, b))
+            verts.add(a)
 
     # split at (near-)collinear vertices, then cancel opposite-direction
     # pairs.  Tolerance: a vertex within 2 grid units of the edge's line

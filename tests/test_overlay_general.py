@@ -349,3 +349,66 @@ def test_boolean_geometry_property_random_star_pairs(ra, rb, phase, dx, dy):
         assert (sum(_pip(r, px, py) for r in rings) % 2 == 1) == (in_a and in_b)
         assert (sum(_pip(r, px, py) for r in dr) % 2 == 1) == (in_a and not in_b)
         assert (sum(_pip(r, px, py) for r in ur) % 2 == 1) == (in_a or in_b)
+
+
+def test_boolean_geometry_invariants_on_driver_fixtures():
+    """The driver's clip_general md5 pin is kernel-circular (the oracle map
+    runs the same kernel), so it cannot catch a wound/overlapping ring on a
+    REAL fixture pair — this sweep asserts the geometric invariants
+    directly on every (region L-ring x gazetteer clip) pair the driver
+    query evaluates, both modes."""
+    from geospatial_spark.sources import constants as C
+    from geospatial_spark.sources import oracle as osql
+
+    m = osql.CLIP_CONVEX_MARGIN
+    rng = np.random.default_rng(23)
+    n_pairs = 0
+    for _i, _rid, _cidx, minx, miny, maxx, maxy in C.region_rows():
+        subj = gm.l_ring_from_bbox(minx, miny, maxx, maxy)
+        a_s = abs(gm.ring_area_planar(subj))
+        for _gi, _name, glat, glon, _pop in C.gazetteer_rows():
+            if not (
+                miny - m <= glat <= maxy + m and minx - m <= glon <= maxx + m
+            ):
+                continue
+            for mode in ("convex", "star"):
+                cvx = mode == "convex"
+                clip = (
+                    gm.buffer_ring_numpy(glat, glon, osql.CLIP_GENERAL_R_OUTER, 16)
+                    if cvx
+                    else gm.star_ring_numpy(
+                        glat, glon,
+                        osql.CLIP_GENERAL_R_OUTER, osql.CLIP_GENERAL_R_INNER, 16,
+                    )
+                )
+                met = gm.overlay_metrics(subj, clip, convex_clip=cvx)
+                ir, dr, ur = gm.overlay_boolean_rings(subj, clip, convex_clip=cvx)
+                inter = met[1] if met else 0.0
+                a_c = abs(gm.ring_area_planar(_closed(clip)))
+                for rings, want in (
+                    (ir, inter), (dr, a_s - inter), (ur, a_s + a_c - inter),
+                ):
+                    signed = sum(gm.ring_area_planar(r) for r in rings)
+                    assert signed == pytest.approx(want, abs=1e-7)
+                # intersection rings must be disjoint CCW (diff/union may
+                # legitimately carry CW holes)
+                assert sum(
+                    abs(gm.ring_area_planar(r)) for r in ir
+                ) == pytest.approx(inter, abs=1e-7)
+                # light membership sample per pair
+                for px, py in rng.uniform(
+                    (minx - 0.02, miny - 0.02), (maxx + 0.02, maxy + 0.02), (25, 2)
+                ):
+                    in_a = _pip(subj, px, py)
+                    in_b = _pip(_closed(clip), px, py)
+                    assert (sum(_pip(r, px, py) for r in ir) % 2 == 1) == (
+                        in_a and in_b
+                    )
+                    assert (sum(_pip(r, px, py) for r in dr) % 2 == 1) == (
+                        in_a and not in_b
+                    )
+                    assert (sum(_pip(r, px, py) for r in ur) % 2 == 1) == (
+                        in_a or in_b
+                    )
+                n_pairs += 1
+    assert n_pairs > 50  # the sweep actually covered the driver surface
