@@ -95,6 +95,54 @@ def committed_partitions(root: str, table: str) -> set[int]:
     return {rec["partition_id"] for rec in man["partitions"]}
 
 
+def _rec_pid(rec: dict[str, Any], n_partitions: int) -> int:
+    """The RAW ``__pid`` a manifest record's files carry.  Records written
+    since round 5 store it explicitly (``pid``); the fallback reconstructs
+    it for legacy manifests — write_partitioned ids were already raw
+    (< n), append ids were namespaced ``version*n + pid``, and ``% n``
+    inverts both."""
+    return int(rec.get("pid", rec["partition_id"] % n_partitions))
+
+
+def _writer_kind(man: dict[str, Any]) -> str:
+    """'batch' (write_partitioned) or 'append' (append_batch).  Recorded
+    explicitly since round 5; legacy manifests are inferred from the
+    partition_id namespacing (any namespaced id ⇒ append)."""
+    w = man.get("writer")
+    if w:
+        return str(w)
+    n = man["n_partitions"]
+    if any(rec["partition_id"] != _rec_pid(rec, n) for rec in man["partitions"]):
+        return "append"
+    return "batch"
+
+
+def _committed_batch_pid_filter(man: dict[str, Any]):
+    """Reader-side committed-data predicate: OR over batches of
+    ``(__batch == b) & __pid.isin(raw pids of b)``.  The round-4 reader
+    filtered ``__pid.isin(all partition_ids)`` — but ``partition_id`` is a
+    NAMESPACED lineage key for appended batches (version*n + pid) while
+    the parquet files carry the raw ``__pid``, so any appended batch
+    writing a pid the version-0 batch did not cover was silently dropped
+    (round-4 advice, high).  Both ``__batch`` and ``__pid`` are partition
+    columns, so the disjunction of conjunctions still prunes at
+    file-listing time.  Returns None when no batch has data."""
+    n = man["n_partitions"]
+    by_batch: dict[str, set[int]] = {}
+    for rec in man["partitions"]:
+        b = rec.get("batch")
+        if not b:
+            continue
+        by_batch.setdefault(b, set()).add(_rec_pid(rec, n))
+    cond = None
+    for b in sorted(by_batch):
+        c = (F.col("__batch") == b) & F.col("__pid").isin(
+            sorted(by_batch[b])
+        )
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
 def _swap_manifest(root: str, table: str, manifest: dict[str, Any]) -> None:
     md = _meta_dir(root, table)
     os.makedirs(md, exist_ok=True)
@@ -171,6 +219,14 @@ def write_partitioned(
     _assert_local_root(root)
     man = current_manifest(root, table)
     if man is not None:
+        # cross-mode guard (round-4 advice): a resume over an APPENDED
+        # table would misread namespaced append partition_ids as its own
+        # raw pids and silently skip those partitions forever
+        if _writer_kind(man) != "batch":
+            raise ValueError(
+                f"table {table!r} was committed by append_batch "
+                "(streaming-append mode); write_partitioned cannot resume it"
+            )
         # resume guard (round-2 advice): the committed partitioning is the
         # only valid one — silently proceeding with a different mode/bounds/
         # partition count would assign remaining rows under a partitioning
@@ -222,6 +278,7 @@ def write_partitioned(
             "n_partitions": n_partitions,
             "version": 0,
             "range_bounds": range_bounds,
+            "writer": "batch",
             "partitions": [],
         }
     _gc_orphan_batches(root, table, man)
@@ -256,6 +313,7 @@ def write_partitioned(
             man["partitions"].append(
                 {
                     "partition_id": p,
+                    "pid": p,
                     "batch": bname,
                     "row_count": r["row_count"] if r else 0,
                     "key_min": r["key_min"] if r else None,
@@ -302,6 +360,20 @@ def append_batch(
     if man is not None:
         if any(rec.get("batch") == batch_tag for rec in man["partitions"]):
             return man  # replayed batch — already committed, exactly-once
+        if _writer_kind(man) != "append":
+            # cross-mode guard (round-4 advice): appending to a
+            # write_partitioned table would interleave hash-append pids
+            # with the committed (possibly RANGE) partitioning, and a
+            # later write_partitioned resume would misread the namespace
+            raise ValueError(
+                f"table {table!r} was committed by write_partitioned "
+                "(batch mode); append_batch cannot extend it"
+            )
+        if man.get("range_bounds") is not None:
+            raise ValueError(
+                f"table {table!r} is range-partitioned; append_batch "
+                "supports hash partitioning only"
+            )
         if man.get("key_col") != key_col:
             raise ValueError(
                 f"append to table {table!r} with key_col={key_col!r} but "
@@ -324,6 +396,7 @@ def append_batch(
             "n_partitions": n_partitions,
             "version": 0,
             "range_bounds": None,
+            "writer": "append",
             "partitions": [],
         }
     _gc_orphan_batches(root, table, man)  # removes THIS tag's crashed try too
@@ -350,6 +423,7 @@ def append_batch(
         man["partitions"].append(
             {
                 "partition_id": base_pid + r["__pid"],
+                "pid": int(r["__pid"]),
                 "batch": batch_tag,
                 "row_count": r["row_count"],
                 "key_min": r["key_min"],
@@ -363,6 +437,7 @@ def append_batch(
         man["partitions"].append(
             {
                 "partition_id": base_pid,
+                "pid": 0,
                 "batch": batch_tag,
                 "row_count": 0,
                 "key_min": None,
@@ -468,39 +543,34 @@ def read_table(
     )
     if man is None:
         raise FileNotFoundError(f"no committed manifest for {table} under {root}")
-    done = {rec["partition_id"] for rec in man["partitions"]}
-    batches = sorted(
-        {rec["batch"] for rec in man["partitions"] if rec.get("batch")}
-    )
-    if not batches or not os.path.isdir(_data_dir(root, table)):
+    cond = _committed_batch_pid_filter(man)
+    if cond is None or not os.path.isdir(_data_dir(root, table)):
         # no committed batches, or every committed batch was empty (an
         # empty micro-batch commits its tag but writes no files)
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromDDL(man["schema"]))
     base = spark.read.parquet(_data_dir(root, table))
-    return (
-        base.filter(
-            F.col("__batch").isin(batches) & F.col("__pid").isin(list(done))
-        )
-        .drop("__batch", "__pid")
-    )
+    return base.filter(cond).drop("__batch", "__pid")
 
 
 def partitions_for_range(
     man: dict[str, Any], lo: int, hi: int
 ) -> list[tuple[int, str]]:
-    """(partition_id, batch) of committed partitions whose
+    """(raw ``__pid``, batch) of committed partitions whose
     [key_min, key_max] lineage bounds overlap [lo, hi] — the manifest-side
     half of the cell-range pruning contract (empty partitions carry NULL
-    bounds and never match)."""
+    bounds and never match).  The pid is the RAW file-partition value, not
+    the namespaced lineage ``partition_id`` — appended batches namespace
+    the latter (round-4 advice fix)."""
+    n = man["n_partitions"]
     sel = []
     for rec in man["partitions"]:
         kmin, kmax = rec.get("key_min"), rec.get("key_max")
         if kmin is None or kmax is None:
             continue
         if kmax >= lo and kmin <= hi:
-            sel.append((rec["partition_id"], rec["batch"]))
+            sel.append((_rec_pid(rec, n), rec["batch"]))
     return sel
 
 
@@ -540,16 +610,20 @@ def read_range(
 
         return spark.createDataFrame([], StructType.fromDDL(man["schema"]))
     base = spark.read.parquet(_data_dir(root, table))
-    pids = sorted({p for p, _ in sel})
-    batches = sorted({b for _, b in sel if b})
+    # per-batch pid sets: files carry RAW __pid, and distinct batches may
+    # reuse the same pid values — the filter must pair them (round-4
+    # advice: a flat isin over namespaced ids dropped appended batches)
+    by_batch: dict[str, set[int]] = {}
+    for p, b in sel:
+        if b:
+            by_batch.setdefault(b, set()).add(p)
+    cond = None
+    for b in sorted(by_batch):
+        c = (F.col("__batch") == b) & F.col("__pid").isin(sorted(by_batch[b]))
+        cond = c if cond is None else (cond | c)
     key = F.col(key_col).cast("bigint")
     return (
-        base.filter(
-            F.col("__batch").isin(batches)
-            & F.col("__pid").isin(pids)
-            & (key >= F.lit(int(lo)))
-            & (key <= F.lit(int(hi)))
-        )
+        base.filter(cond & (key >= F.lit(int(lo))) & (key <= F.lit(int(hi))))
         .drop("__batch", "__pid")
     )
 

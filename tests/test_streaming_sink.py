@@ -163,3 +163,56 @@ def test_append_batch_key_mismatch_and_bad_tag(spark, tmp_path):
         ice.append_batch(
             df, root, "t", stage="s", key_col="event_id", batch_tag="a/b"
         )
+
+
+def test_append_batch_new_pid_in_later_batch_is_read(spark, tmp_path):
+    """Round-4 advice (high): appended batches record NAMESPACED lineage
+    partition_ids (version*n + pid) while the parquet files carry the raw
+    ``__pid`` — readers must pair (batch, raw pid).  The round-4 reader
+    filtered a flat ``__pid.isin(all partition_ids)``, silently dropping
+    any later batch whose raw pid the version-0 batch did not cover."""
+    root = str(tmp_path / "ice")
+    one = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    many = spark.createDataFrame(
+        [(i, "b") for i in range(20)], "k bigint, v string"
+    )
+    ice.append_batch(
+        one, root, "t", stage="s", key_col="k", n_partitions=16,
+        batch_tag="sb0",
+    )
+    ice.append_batch(
+        many, root, "t", stage="s", key_col="k", n_partitions=16,
+        batch_tag="sb1",
+    )
+    man = ice.current_manifest(root, "t")
+    pids = {
+        tag: {r["pid"] for r in man["partitions"] if r["batch"] == tag}
+        for tag in ("sb0", "sb1")
+    }
+    # the fixture must actually exercise the bug path: sb1 writes raw pids
+    # sb0 never covered
+    assert not pids["sb1"] <= pids["sb0"]
+    got = sorted(r["k"] for r in ice.read_table(spark, root, "t").collect())
+    assert got == sorted([1] + list(range(20)))
+    rng = sorted(r["k"] for r in ice.read_range(spark, root, "t", 0, 100).collect())
+    assert rng == got
+
+
+def test_cross_mode_writes_refused(spark, tmp_path):
+    """Round-4 advice (low): a write_partitioned resume over an appended
+    table would misread namespaced append partition_ids as its own raw
+    pids and skip those partitions forever; appends onto batch/range
+    tables are equally invalid.  Both directions must fail loudly."""
+    df = spark.createDataFrame([(i, "x") for i in range(10)], "k bigint, v string")
+    root = str(tmp_path / "ice")
+    ice.append_batch(df, root, "a", stage="s", key_col="k", batch_tag="sb0")
+    with pytest.raises(ValueError, match="cannot resume"):
+        ice.write_partitioned(df, root, "a", stage="s", key_col="k")
+    ice.write_partitioned(df, root, "b", stage="s", key_col="k")
+    with pytest.raises(ValueError, match="cannot extend"):
+        ice.append_batch(df, root, "b", stage="s", key_col="k", batch_tag="sb0")
+    ice.write_partitioned(
+        df, root, "c", stage="s", key_col="k", range_bounds=[5]
+    )
+    with pytest.raises(ValueError, match="cannot extend"):
+        ice.append_batch(df, root, "c", stage="s", key_col="k", batch_tag="sb0")
