@@ -218,6 +218,20 @@ def knn_join_cellring_adaptive(
     s_lon = 2.0 * math.pi / NI
     R = dist.EARTH_RADIUS_M
 
+    # validate precision/ring compatibility UP FRONT (round-4 advice): a
+    # ring spanning the lon circle has no outside-in-lon bound, and if the
+    # FIRST ring already spanned it the old loop broke with zero rounds
+    # run — sending the ENTIRE point set into the broadcast tail, a
+    # driver blow-up on large point relations.  Too-wide trailing rings
+    # are trimmed (the tail covers what they would have); an all-invalid
+    # ladder is a caller error.
+    rings = tuple(r for r in rings if NI > 2 * r + 1)
+    if not rings:
+        raise ValueError(
+            f"every ring spans the longitude grid (NI={NI}) at precision "
+            f"{precision}: raise precision or shrink the rings"
+        )
+
     points_df = points_df.localCheckpoint(eager=False)
 
     nb = neighbors_df.select(
@@ -240,8 +254,6 @@ def knn_join_cellring_adaptive(
     prev_persisted: DataFrame | None = None
     n_rem = -1  # unknown until first count
     for ri, ring in enumerate(rings):
-        if NI <= 2 * ring + 1:
-            break  # ring spans the lon circle — no outside-in-lon bound exists
         cand = _ring_join(
             remaining, nb, precision, ring, lat, lon,
             broadcast_nb=broadcast_neighbors,
@@ -285,12 +297,19 @@ def knn_join_cellring_adaptive(
         if n_rem == 0:
             break
     if n_rem != 0:
-        # exact fallback for the hard tail: broadcast the (small) remainder
-        # against the full neighbor relation — stays distributed, same JVM
-        # haversine + tie-break, so the union is seamless.  The remainder is
-        # small BY CONSTRUCTION of the ring ladder (only points whose k-th
-        # neighbor outdistances the widest ring's guarantee radius).
-        fb = _ranked(F.broadcast(remaining).crossJoin(nb)).filter(F.col("rank") <= k)
+        # exact fallback for the hard tail — same JVM haversine +
+        # tie-break, so the union is seamless.  Broadcast side (round-4
+        # advice): when the caller attested the NEIGHBOR side small
+        # (broadcast_neighbors, e.g. the planner counted it), broadcast
+        # that — the remainder's size is then irrelevant.  Otherwise
+        # broadcast the remainder, which is small BY CONSTRUCTION of the
+        # (now validated, ≥1-round) ring ladder: only points whose k-th
+        # neighbor outdistances the widest ring's guarantee radius.
+        if broadcast_neighbors:
+            fb = _ranked(remaining.crossJoin(F.broadcast(nb)))
+        else:
+            fb = _ranked(F.broadcast(remaining).crossJoin(nb))
+        fb = fb.filter(F.col("rank") <= k)
         parts.append(fb.select(*point_cols, "neighbor_name", "rank", "dist_m"))
     out = parts[0]
     for p in parts[1:]:

@@ -112,3 +112,77 @@ def test_adaptive_exact_when_neighbors_fewer_than_k(spark, skewed):
         map(tuple, want.select("pid", "neighbor_name", "rank").collect())
     )
     assert got.count() == 6 * 2
+
+
+def test_adaptive_exact_at_boundary_coordinates(spark):
+    """Round-4 advice (medium): lat=90 / lon=±180 must quantize into the
+    LAST grid cell exactly like geo.geohash.quantize clips — an unclamped
+    floor would alias the pole row into the adjacent lon column's row 0
+    (invisible to the ring join) and break the EXACT claim.  Neighbors and
+    query points sit on every boundary; result must equal brute force."""
+    nb = spark.createDataFrame(
+        [
+            ("pole_n", 90.0, 0.0),
+            ("pole_s", -90.0, 0.0),
+            ("anti_e", 10.0, 180.0),
+            ("anti_w", 10.0, -180.0),
+            ("corner", 90.0, 180.0),
+            ("mid_a", 45.0, 45.0),
+            ("mid_b", -45.0, -45.0),
+            ("mid_c", 0.0, 0.0),
+        ],
+        "name string, lat double, lon double",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("q_pole", 89.5, -20.0),
+            ("q_anti", 9.0, 179.5),
+            ("q_anti_w", 9.0, -179.5),
+            ("q_corner", 89.0, 179.0),
+            ("q_mid", 44.0, 44.0),
+        ],
+        "pid string, lat double, lon double",
+    )
+    got = knn_ops.knn_join_cellring_adaptive(
+        pts, nb, k=3, precision=2, rings=(1, 3, 7)
+    )
+    want = _exact(pts, nb, 3)
+    g = sorted(map(tuple, got.select("pid", "neighbor_name", "rank").collect()))
+    w = sorted(map(tuple, want.select("pid", "neighbor_name", "rank").collect()))
+    assert g == w
+    assert len(g) == 5 * 3
+
+
+def test_adaptive_rejects_all_rings_spanning_lon_circle(spark, skewed):
+    """Round-4 advice (low): a first ring spanning the lon circle used to
+    fall through to broadcasting the ENTIRE point set; now too-wide rings
+    are trimmed up front and an all-invalid ladder raises."""
+    pts, nb = skewed
+    with pytest.raises(ValueError, match="longitude grid"):
+        knn_ops.knn_join_cellring_adaptive(
+            pts, nb, k=5, precision=1, rings=(64,)
+        )
+    # a ladder whose WIDEST rings are invalid is trimmed, still exact
+    got = knn_ops.knn_join_cellring_adaptive(
+        pts, nb, k=5, precision=2, rings=(3, 10_000)
+    )
+    want = _exact(pts, nb, 5)
+    assert sorted(
+        map(tuple, got.select("pid", "neighbor_name", "rank").collect())
+    ) == sorted(map(tuple, want.select("pid", "neighbor_name", "rank").collect()))
+
+
+def test_adaptive_tail_broadcasts_neighbor_side_when_attested_small(spark, skewed):
+    """broadcast_neighbors=True must flip the tail's broadcast side to the
+    neighbor relation (the remainder's size is then irrelevant) AND stay
+    exact."""
+    import io, contextlib
+
+    pts, nb = skewed
+    got = knn_ops.knn_join_cellring_adaptive(
+        pts, nb, k=5, precision=2, rings=(1,), broadcast_neighbors=True
+    )
+    want = _exact(pts, nb, 5)
+    assert sorted(
+        map(tuple, got.select("pid", "neighbor_name", "rank").collect())
+    ) == sorted(map(tuple, want.select("pid", "neighbor_name", "rank").collect()))
