@@ -636,25 +636,24 @@ def clip_general_udf(
                 clip = gm.star_ring_numpy(
                     float(la), float(lo), r_outer_m, r_inner_m, n_vertices
                 )
-            m = gm.overlay_metrics(subj, clip, convex_clip=cvx)
-            if m is None:
+            # ONE triangulate+clip pass for areas AND all geometries
+            # (round-4 verdict item 4: the overlay_metrics +
+            # overlay_boolean_rings split re-ran the dominant pass twice)
+            res = gm.overlay_full(subj, clip, convex_clip=cvx)
+            if res.inter <= 0.0:
                 rows.append(nulls)
             else:
-                pieces, inter, uni, diff = m
-                rings, d_rings, u_rings = gm.overlay_boolean_rings(
-                    subj, clip, convex_clip=cvx
-                )
                 rows.append(
                     (
-                        pieces,
-                        int(np.floor(inter * 1e12 + 0.5)),
-                        int(np.floor(uni * 1e12 + 0.5)),
-                        int(np.floor(diff * 1e12 + 0.5)),
-                        len(rings),
-                        int(sum(len(r) - 1 for r in rings)),
-                        gm.rings_canonical_wkt(rings),
-                        gm.rings_canonical_wkt(d_rings),
-                        gm.rings_canonical_wkt(u_rings),
+                        res.n_pieces,
+                        int(np.floor(res.inter * 1e12 + 0.5)),
+                        int(np.floor(res.union * 1e12 + 0.5)),
+                        int(np.floor(res.diff_ab * 1e12 + 0.5)),
+                        len(res.inter_rings),
+                        int(sum(len(r) - 1 for r in res.inter_rings)),
+                        gm.rings_canonical_wkt(res.inter_rings),
+                        gm.rings_canonical_wkt(res.diff_rings),
+                        gm.rings_canonical_wkt(res.union_rings),
                     )
                 )
         return pd.DataFrame(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 import struct
+from typing import NamedTuple
 
 import numpy as np
 
@@ -713,27 +714,15 @@ def overlay_intersection_rings(
     crossing parameter t for a reversed edge up to float noise, absorbed
     by the 1e-9-degree ≈ 0.1 mm quantization), so cancelling (u→v, v→u)
     pairs leaves exactly the outer boundary, which is then chained into
-    rings.  Components of an intersection of two simple polygons are
-    simply connected, so the result is rings only — no holes.  Raises on
-    a boundary that does not chain (degenerate/non-general-position
-    input) rather than returning a wrong geometry.
+    rings.  Raises on a boundary that does not chain
+    (degenerate/non-general-position input) rather than returning a
+    wrong geometry.
 
     Verified against ``overlay_metrics`` areas, the direct convex clip,
     and point-membership sampling in tests/test_overlay_general.py."""
-    cr = np.asarray(clip_ring, dtype=np.float64)
-    if not np.array_equal(cr[0], cr[-1]):
-        cr = np.vstack([cr, cr[:1]])
-    if convex_clip:
-        out = clip_ring_convex(subject_ring, cr)
-        pieces = [out] if out is not None else []
-    else:
-        pieces = []
-        for tri in triangulate_ring(cr):
-            out = clip_ring_convex(subject_ring, np.vstack([tri, tri[:1]]))
-            if out is not None:
-                pieces.append(out)
-    # every piece is a positive region → normalize CCW before dissolving
-    return _dissolve_rings([(p, 1) for p in pieces], quant)
+    return overlay_full(
+        subject_ring, clip_ring, convex_clip=convex_clip, quant=quant
+    ).inter_rings
 
 
 def overlay_difference_rings(
@@ -749,14 +738,9 @@ def overlay_difference_rings(
     reversed as the cut.  Holes are legitimate here (clip strictly inside
     subject → annulus) and come out as CW rings; membership is even-odd
     over all rings and the signed area sum equals |A| − |A∩B| exactly."""
-    inter = overlay_intersection_rings(
+    return overlay_full(
         subject_ring, clip_ring, convex_clip=convex_clip, quant=quant
-    )
-    return _dissolve_rings(
-        [(np.asarray(subject_ring, dtype=np.float64), 1)]
-        + [(r, -1) for r in inter],
-        quant,
-    )
+    ).diff_rings
 
 
 def overlay_union_rings(
@@ -772,10 +756,9 @@ def overlay_union_rings(
     ∂(A∪B) = dissolve(∂A + ∂(B∖A)), with B∖A's ring orientations kept
     as produced (CCW shells, CW holes).  Signed area sum equals
     |A| + |B| − |A∩B| exactly."""
-    _, _, union = overlay_boolean_rings(
+    return overlay_full(
         subject_ring, clip_ring, convex_clip=convex_clip, quant=quant
-    )
-    return union
+    ).union_rings
 
 
 def overlay_boolean_rings(
@@ -786,25 +769,201 @@ def overlay_boolean_rings(
     quant: float = 1e-9,
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
     """(intersection, difference, union) ring geometries sharing ONE
-    intersection computation — the triangulate+clip pass dominates the
-    kernel cost, and the three boolean boundaries are all dissolve
-    algebra over the same ∂(A∩B):
-
-        ∂(A∖B) = dissolve(∂A + rev ∂(A∩B))
-        ∂(B∖A) = dissolve(∂B + rev ∂(A∩B))   (A∩B = B∩A as a region)
-        ∂(A∪B) = dissolve(∂A + ∂(B∖A))
-
-    This is what the per-pair UDF and the oracle map call."""
-    subj = np.asarray(subject_ring, dtype=np.float64)
-    cr = np.asarray(clip_ring, dtype=np.float64)
-    inter = overlay_intersection_rings(
-        subj, cr, convex_clip=convex_clip, quant=quant
+    intersection computation (see ``overlay_full``)."""
+    res = overlay_full(
+        subject_ring, clip_ring, convex_clip=convex_clip, quant=quant
     )
-    rev = [(r, -1) for r in inter]
-    diff = _dissolve_rings([(subj, 1)] + rev, quant)
-    diff_ba = _dissolve_rings([(cr, 1)] + rev, quant)
-    union = _dissolve_rings([(subj, 1)] + [(r, 0) for r in diff_ba], quant)
-    return inter, diff, union
+    return res.inter_rings, res.diff_rings, res.union_rings
+
+
+class OverlayResult(NamedTuple):
+    """Everything one triangulate+clip pass yields about a polygon pair:
+    exact planar areas of the five boolean regions plus their dissolved
+    boundary-ring geometries (flat even-odd ring sets: CCW shells, CW
+    holes).  ``inter <= 0`` means the pair is disjoint (inter/diff/union
+    areas are then the trivial closed forms and ``inter_rings == []``)."""
+
+    n_pieces: int
+    area_a: float
+    area_b: float
+    inter: float
+    union: float
+    diff_ab: float
+    diff_ba: float
+    symdiff: float
+    inter_rings: list
+    diff_rings: list
+    diff_ba_rings: list
+    union_rings: list
+    symdiff_rings: list
+
+
+def _oriented_ring_list(x) -> list[tuple[np.ndarray, int]]:
+    """Normalize overlay input to [(closed ring, sign)].  A single (n, 2)
+    array is ONE positive region ring (sign +1 whatever its winding — the
+    legacy single-ring API; vertex order is preserved so the piece pass
+    stays bit-identical to round 4).  A list/tuple is an even-odd oriented
+    ring set — each ring's sign comes from its winding (CCW +1 shell,
+    CW −1 hole, per ``polygon_oriented_rings``); zero-area rings drop."""
+    if isinstance(x, np.ndarray):
+        r = np.asarray(x, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        return [(r, 1)]
+    out: list[tuple[np.ndarray, int]] = []
+    for ring in x:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        sa = ring_area_planar(r)
+        if sa == 0.0:
+            continue
+        out.append((r, 1 if sa > 0.0 else -1))
+    return out
+
+
+def polygon_oriented_rings(geom: Geometry) -> list[np.ndarray]:
+    """Oriented even-odd ring set of a (Multi)Polygon Geometry: each part's
+    shell forced CCW, holes forced CW — the form ``overlay_full`` takes on
+    either side.  Validity assumptions are the standard ones (holes inside
+    their shell, parts disjoint); LineString/Point raise."""
+    if geom.geom_type not in ("Polygon", "MultiPolygon"):
+        raise ValueError(
+            f"polygon_oriented_rings: not a polygonal geometry ({geom.geom_type})"
+        )
+    parts = geom.parts  # list of parts, each a [shell, *holes] ring list
+    rings: list[np.ndarray] = []
+    for rs in parts:
+        for k, ring in enumerate(rs):
+            r = np.asarray(ring, dtype=np.float64)
+            if not np.array_equal(r[0], r[-1]):
+                r = np.vstack([r, r[:1]])
+            sa = ring_area_planar(r)
+            if sa == 0.0:
+                continue
+            want_ccw = k == 0
+            if (sa > 0.0) != want_ccw:
+                r = r[::-1].copy()
+            rings.append(r)
+    return rings
+
+
+def overlay_full(
+    subject,
+    clip,
+    *,
+    convex_clip: bool = False,
+    quant: float = 1e-9,
+) -> OverlayResult:
+    """The ONE-PASS general boolean overlay (reference poverlay
+    ``gutils.py:532-600``, all five ``how`` modes): exact planar areas AND
+    dissolved boundary geometries of A∩B, A∖B, B∖A, A∪B and A△B from a
+    single triangulate+clip pass (round-4 verdict item: the old UDF paid
+    the dominant pass twice via ``overlay_metrics`` + ``overlay_boolean_rings``).
+
+    ``subject``/``clip``: a single (n, 2) ring (legacy positive-region
+    form) or an oriented even-odd ring list (``polygon_oriented_rings`` —
+    CCW shells, CW holes, multiple parts allowed) — so HOLED and
+    MULTIPOLYGON inputs work on BOTH sides.  The algebra is the signed
+    indicator product: with 1_A = Σᵢ sᵢ·1_{Rᵢ} and 1_B = Σⱼ tⱼ·1_{Qⱼ}
+    (valid even-odd nesting), 1_{A∩B} = Σᵢⱼ sᵢtⱼ·1_{Rᵢ∩Qⱼ}, so each
+    clip ring is ear-clipped to triangles, every subject ring is
+    Sutherland–Hodgman'd against each triangle, and the piece carries
+    sign sᵢtⱼ — areas sum signed, boundaries dissolve signed (a −1 piece
+    traverses CW, cancelling where it abuts a +1 piece and surviving as a
+    hole ring where it is interior).  Then:
+
+        ∂(A∖B) = dissolve(∂A + rev ∂(A∩B))      |A∖B| = |A| − |A∩B|
+        ∂(B∖A) = dissolve(∂B + rev ∂(A∩B))      |B∖A| = |B| − |A∩B|
+        ∂(A∪B) = dissolve(∂A + ∂(B∖A))          |A∪B| = |A| + |B| − |A∩B|
+        A△B    = (A∖B) ⊎ (B∖A)                  |A△B| = |A∖B| + |B∖A|
+
+    The symmetric-difference pieces share boundary only at crossing
+    POINTS in general position (∂(A∩B) segments on ∂A bound B∖A alone,
+    segments on ∂B bound A∖B alone), so its ring set is the concatenation
+    — no dissolve — sorted like ``_dissolve_rings`` output.
+    ``convex_clip=True`` keeps the direct whole-clip S-H fast path (clip
+    must be ONE convex positive ring)."""
+    subj = _oriented_ring_list(subject)
+    clp = _oriented_ring_list(clip)
+    area_a = sum(s * abs(ring_area_planar(r)) for r, s in subj)
+    area_b = sum(t * abs(ring_area_planar(r)) for r, t in clp)
+
+    pieces: list[tuple[np.ndarray, int]] = []
+    inter = 0.0
+    n_pieces = 0
+    if convex_clip:
+        if len(clp) != 1 or clp[0][1] < 0:
+            raise ValueError(
+                "overlay_full: convex_clip requires a single positive clip ring"
+            )
+        for sr, ss in subj:
+            out = clip_ring_convex(sr, clp[0][0])
+            if out is None:
+                continue
+            ar = abs(ring_area_planar(out))
+            if ar > 0.0:
+                inter += ar if ss > 0 else -ar
+                pieces.append((out, ss))
+                n_pieces += 1
+    else:
+        for cr, cs in clp:
+            for tri in triangulate_ring(cr):
+                tcl = np.vstack([tri, tri[:1]])
+                for sr, ss in subj:
+                    out = clip_ring_convex(sr, tcl)
+                    if out is None:
+                        continue
+                    ar = abs(ring_area_planar(out))
+                    if ar > 0.0:
+                        sgn = ss * cs
+                        inter += ar if sgn > 0 else -ar
+                        pieces.append((out, sgn))
+                        n_pieces += 1
+
+    inter_rings = _dissolve_rings(pieces, quant)
+    # reverse ∂(A∩B) explicitly (array reversal, orient=0): forcing CW via
+    # orient=−1 would be wrong once the intersection itself has holes
+    # (already-CW rings must flip to CCW in the subtraction)
+    rev = [(r[::-1].copy(), 0) for r in inter_rings]
+    diff_rings = _dissolve_rings(list(subj) + rev, quant)
+    diff_ba_rings = _dissolve_rings(list(clp) + rev, quant)
+    union_rings = _dissolve_rings(
+        list(subj) + [(r, 0) for r in diff_ba_rings], quant
+    )
+    symdiff_rings = sorted(
+        diff_rings + diff_ba_rings, key=lambda r: (r[0, 0], r[0, 1])
+    )
+    diff_ab_a = area_a - inter
+    diff_ba_a = area_b - inter
+    return OverlayResult(
+        n_pieces=n_pieces,
+        area_a=area_a,
+        area_b=area_b,
+        inter=inter,
+        union=area_a + area_b - inter,
+        diff_ab=diff_ab_a,
+        diff_ba=diff_ba_a,
+        symdiff=diff_ab_a + diff_ba_a,
+        inter_rings=inter_rings,
+        diff_rings=diff_rings,
+        diff_ba_rings=diff_ba_rings,
+        union_rings=union_rings,
+        symdiff_rings=symdiff_rings,
+    )
+
+
+def overlay_wkb(
+    wkb_a: bytes, wkb_b: bytes, *, quant: float = 1e-9
+) -> OverlayResult:
+    """``overlay_full`` over two WKB (Multi)Polygons — the per-pair kernel
+    behind ``operators.overlay.overlay_join`` (user geometry columns on
+    BOTH sides, unlike the fixture-synthesizing ``clip_general_udf``)."""
+    return overlay_full(
+        polygon_oriented_rings(parse_wkb(wkb_a)),
+        polygon_oriented_rings(parse_wkb(wkb_b)),
+        quant=quant,
+    )
 
 
 def _dissolve_rings(

@@ -300,18 +300,13 @@ def clip_general_values() -> str:
                     clip = gm.star_ring_numpy(
                         glat, glon, CLIP_GENERAL_R_OUTER, CLIP_GENERAL_R_INNER, 16
                     )
-                met = gm.overlay_metrics(subj, clip, convex_clip=(mode == "convex"))
-                if met is None:
+                # ONE triangulate+clip pass (geo.geom.overlay_full — the
+                # SAME call the Spark UDF makes, so parity is bit-exact);
+                # geometry pins are md5(canonical WKT) of the dissolved
+                # rings, value-checked cross-engine via Spark's F.md5
+                res = gm.overlay_full(subj, clip, convex_clip=(mode == "convex"))
+                if res.inter <= 0.0:
                     continue
-                pieces, inter, uni, diff = met
-                # geometry output (round 4): dissolved intersection rings;
-                # the map carries md5(canonical WKT) — Spark computes
-                # F.md5(geom_wkt) over the SAME kernel's string, so the
-                # geometry itself is value-pinned cross-engine
-                cvx = mode == "convex"
-                rings, d_rings, u_rings = gm.overlay_boolean_rings(
-                    subj, clip, convex_clip=cvx
-                )
 
                 def _md5(rs):
                     # a sub-quantum sliver has metrics but no e9 geometry
@@ -322,12 +317,14 @@ def clip_general_values() -> str:
                     return f"'{_hashlib.md5(wkt.encode()).hexdigest()}'"
 
                 vals.append(
-                    f"('{rid}', '{name}', '{mode}', {pieces}, "
-                    f"{int(np.floor(inter * 1e12 + 0.5))}, "
-                    f"{int(np.floor(uni * 1e12 + 0.5))}, "
-                    f"{int(np.floor(diff * 1e12 + 0.5))}, "
-                    f"{len(rings)}, {sum(len(r) - 1 for r in rings)}, "
-                    f"{_md5(rings)}, {_md5(d_rings)}, {_md5(u_rings)})"
+                    f"('{rid}', '{name}', '{mode}', {res.n_pieces}, "
+                    f"{int(np.floor(res.inter * 1e12 + 0.5))}, "
+                    f"{int(np.floor(res.union * 1e12 + 0.5))}, "
+                    f"{int(np.floor(res.diff_ab * 1e12 + 0.5))}, "
+                    f"{len(res.inter_rings)}, "
+                    f"{sum(len(r) - 1 for r in res.inter_rings)}, "
+                    f"{_md5(res.inter_rings)}, {_md5(res.diff_rings)}, "
+                    f"{_md5(res.union_rings)})"
                 )
     if not vals:
         raise RuntimeError("clip_general_values: empty kernel map")
