@@ -586,6 +586,73 @@ def clip_rect_udf(wminx: float, wminy: float, wmaxx: float, wmaxy: float):
     return _clip
 
 
+def wkb_bbox_udf():
+    """(minx, miny, maxx, maxy) of a WKB geometry — the bbox-prefilter
+    input of ``operators.overlay.overlay_join`` (one parse per geometry,
+    Arrow-batched; NULL row for NULL geometry)."""
+
+    @pandas_udf("minx double, miny double, maxx double, maxy double")
+    def _bbox(wkb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in wkb:
+            if buf is None:
+                rows.append((None, None, None, None))
+                continue
+            rows.append(gm.bbox(gm.parse_wkb(bytes(buf))))
+        return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+    return _bbox
+
+
+def overlay_all_udf(quant: float = 1e-9):
+    """The WKB×WKB pair kernel of ``operators.overlay.overlay_join``
+    (reference poverlay ``gutils.py:532-600`` — all five ``how`` modes from
+    ONE ``geo.geom.overlay_full`` pass): exact e12-int planar areas and
+    canonical fixed-9 WKT geometries of A∩B, A∖B, B∖A, A∪B and A△B, plus
+    per-geometry ring/vertex counts.  Holed and MultiPolygon inputs work on
+    both sides (``geo.geom.polygon_oriented_rings``).  Empty regions carry
+    NULL wkt and 0 counts; a NULL input geometry yields an all-NULL row."""
+
+    fields = []
+    for g in ("inter", "diff", "diff_ba", "union", "symdiff"):
+        fields += [f"{g}_e12 bigint", f"{g}_wkt string",
+                   f"{g}_n_rings int", f"{g}_ring_pts int"]
+    schema = "n_pieces int, area_a_e12 bigint, area_b_e12 bigint, " + ", ".join(fields)
+
+    def _e12(x: float) -> int:
+        return int(np.floor(x * 1e12 + 0.5))
+
+    cols = [f.strip().split(" ")[0] for f in schema.split(",")]
+
+    @pandas_udf(schema)
+    def _ov(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.DataFrame:
+        nulls = (None,) * len(cols)
+        rows = []
+        for ba, bb in zip(wkb_a, wkb_b):
+            if ba is None or bb is None:
+                rows.append(nulls)
+                continue
+            res = gm.overlay_wkb(bytes(ba), bytes(bb), quant=quant)
+            row = [res.n_pieces, _e12(res.area_a), _e12(res.area_b)]
+            for area, rings in (
+                (res.inter, res.inter_rings),
+                (res.diff_ab, res.diff_rings),
+                (res.diff_ba, res.diff_ba_rings),
+                (res.union, res.union_rings),
+                (res.symdiff, res.symdiff_rings),
+            ):
+                row += [
+                    _e12(area),
+                    gm.rings_canonical_wkt(rings),
+                    len(rings),
+                    int(sum(len(r) - 1 for r in rings)),
+                ]
+            rows.append(tuple(row))
+        return pd.DataFrame(rows, columns=cols)
+
+    return _ov
+
+
 def clip_general_udf(
     r_outer_m: float, r_inner_m: float, n_vertices: int, mode: str
 ):

@@ -1,0 +1,210 @@
+"""U10 general overlay JOIN — the reference's ``poverlay(gdf1, gdf2, how)``
+(``/root/reference/geoparse/gutils.py:532-600``) as a distributed pairwise
+operator over two DataFrames with WKB geometry columns.
+
+The reference wraps ``gpd.overlay`` on two in-memory GeoDataFrames; here the
+pairing is declarative (a bbox-prefilter join Catalyst can plan: broadcast
+theta-join for a small side, shared-grid equi-join for large×large) and the
+per-pair boolean geometry is ONE Arrow-batched ``geo.geom.overlay_full``
+pass (``functions.udfs.overlay_all_udf``) — exact planar areas plus
+dissolved boundary rings for every ``how``.  Holed and MultiPolygon
+geometries work on both sides.
+
+Semantics are PAIRWISE (a join): one output row per candidate pair whose
+result region is non-empty — the scalable Spark reading of ``gpd.overlay``'s
+row-cross-row behavior.  ``how='identity'`` follows geopandas at pair
+granularity: the A∩B piece keeps both sides' attributes, the A∖B piece
+keeps the left side's (right attributes NULL), discriminated by ``piece``.
+
+At 100 TB: the prefilter is the whole story — candidate pairs, not table
+sizes, bound the kernel work.  ``strategy='broadcast'`` keeps the small
+side in memory (no shuffle at all); ``strategy='grid'`` maps both sides
+onto the shared geohash integer grid (two narrow shuffles, pairs
+deduplicated before the kernel) and survives two large inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import udfs
+
+HOWS = (
+    "intersection",
+    "difference",
+    "union",
+    "symmetric_difference",
+    "identity",
+    "all",
+)
+
+# how → (area field, wkt field) in overlay_all_udf's struct
+_HOW_FIELDS = {
+    "intersection": "inter",
+    "difference": "diff",
+    "union": "union",
+    "symmetric_difference": "symdiff",
+}
+
+
+def _with_bbox(df: DataFrame, geom: str, pre: str) -> DataFrame:
+    bb = udfs.wkb_bbox_udf()
+    return df.withColumn("__bb", bb(F.col(geom))).select(
+        "*",
+        F.col("__bb.minx").alias(f"{pre}minx"),
+        F.col("__bb.miny").alias(f"{pre}miny"),
+        F.col("__bb.maxx").alias(f"{pre}maxx"),
+        F.col("__bb.maxy").alias(f"{pre}maxy"),
+    ).drop("__bb")
+
+
+def _bbox_overlap(margin: float) -> Column:
+    m = float(margin)
+    return (
+        (F.col("__lminx") <= F.col("__rmaxx") + m)
+        & (F.col("__rminx") <= F.col("__lmaxx") + m)
+        & (F.col("__lminy") <= F.col("__rmaxy") + m)
+        & (F.col("__rminy") <= F.col("__lmaxy") + m)
+    )
+
+
+def _grid_cells(pre: str, precision: int, margin: float) -> Column:
+    """Covering cell ids of a bbox on the shared geohash integer grid —
+    the large×large pairing key.  Same quantization as the kNN ring join
+    (clamped both ends; lon wrap ignored because bboxes here are already
+    planar lon/lat rectangles, the engine's overlay domain)."""
+    from ..geo import geohash as gh
+
+    lon_bits, lat_bits = gh._bits(precision)
+    NI, NJ = 1 << lon_bits, 1 << lat_bits
+
+    def _q(col, off: float, span: float, n: int):
+        return F.least(
+            F.lit(n - 1), F.greatest(F.lit(0), F.floor((col + off) / span * n))
+        ).cast("long")
+
+    m = float(margin)
+    x0 = _q(F.col(f"{pre}minx") - m, 180.0, 360.0, NI)
+    x1 = _q(F.col(f"{pre}maxx") + m, 180.0, 360.0, NI)
+    y0 = _q(F.col(f"{pre}miny") - m, 90.0, 180.0, NJ)
+    y1 = _q(F.col(f"{pre}maxy") + m, 90.0, 180.0, NJ)
+    return F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(x0, x1),
+                lambda qx: F.transform(
+                    F.sequence(y0, y1), lambda qy: qx * NJ + qy
+                ),
+            )
+        )
+    )
+
+
+def overlay_join(
+    left: DataFrame,
+    right: DataFrame,
+    how: str = "intersection",
+    *,
+    left_geom: str = "geometry",
+    right_geom: str = "geometry",
+    margin: float = 0.0,
+    strategy: str = "broadcast",
+    grid_precision: int = 4,
+    quant: float = 1e-9,
+) -> DataFrame:
+    """Pairwise boolean overlay of two WKB-geometry DataFrames.
+
+    ``how``: ``intersection | difference | union | symmetric_difference``
+    → one row per candidate pair with a non-empty result: all left and
+    right attribute columns (right-side name collisions suffixed ``_2``),
+    plus ``n_pieces, area_e12, n_rings, ring_pts, wkt`` (canonical fixed-9
+    even-odd MULTIPOLYGON WKT).  ``identity`` → up to two rows per pair
+    (``piece='both'`` = A∩B with both attribute sets, ``piece='left'`` =
+    A∖B with right attributes NULL).  ``all`` → one row per candidate pair
+    (kept even when disjoint) carrying the full
+    ``functions.udfs.overlay_all_udf`` struct flattened — areas, WKTs and
+    ring counts of all five regions from the one kernel pass.
+
+    ``strategy='broadcast'`` broadcasts the RIGHT side into a bbox
+    theta-join (zero shuffles — right must fit in executor memory);
+    ``'grid'`` pairs via covering cells on the shared geohash grid at
+    ``grid_precision`` and deduplicates pairs before the kernel
+    (large×large; two keyed shuffles).  ``margin`` widens the bbox
+    prefilter (degrees) — semantically part of the pairing predicate.
+    """
+    if how not in HOWS:
+        raise ValueError(f"overlay_join: unknown how {how!r} (expected {HOWS})")
+    if strategy not in ("broadcast", "grid"):
+        raise ValueError(f"overlay_join: unknown strategy {strategy!r}")
+
+    l_bb = _with_bbox(left, left_geom, "__l")
+    r_bb = _with_bbox(right, right_geom, "__r")
+
+    # resolve attribute-name collisions like gpd.overlay: right gets _2
+    l_attrs = [c for c in left.columns if c != left_geom]
+    r_attrs = [c for c in right.columns if c != right_geom]
+    r_renames = {c: (c + "_2" if c in set(l_attrs) else c) for c in r_attrs}
+    for old, new in r_renames.items():
+        if new != old:
+            r_bb = r_bb.withColumnRenamed(old, new)
+    r_geom_out = right_geom + "_2" if right_geom == left_geom else right_geom
+    r_bb = r_bb.withColumnRenamed(right_geom, r_geom_out)
+
+    if strategy == "broadcast":
+        pairs = l_bb.join(F.broadcast(r_bb), _bbox_overlap(margin), "inner")
+    else:
+        lc = l_bb.withColumn("__cell", _grid_cells("__l", grid_precision, 0.0))
+        rc = r_bb.withColumn("__cell", _grid_cells("__r", grid_precision, margin))
+        pairs = (
+            lc.join(rc, "__cell", "inner")
+            .filter(_bbox_overlap(margin))
+            .drop("__cell")
+            .dropDuplicates()  # a pair meets once per shared covering cell
+        )
+    pairs = pairs.drop(
+        *[f"__{s}{b}" for s in ("l", "r") for b in ("minx", "miny", "maxx", "maxy")]
+    )
+
+    ov = udfs.overlay_all_udf(quant=quant)
+    res = pairs.withColumn("__ov", ov(F.col(left_geom), F.col(r_geom_out)))
+
+    out_attrs = l_attrs + [left_geom] + [r_renames[c] for c in r_attrs] + [r_geom_out]
+    if how == "all":
+        return res.select(*out_attrs, F.col("__ov.*"))
+    if how == "identity":
+        # both pieces from the ONE kernel evaluation: explode a 2-struct
+        # array (a union of two selects would re-evaluate the UDF lineage
+        # once per branch — twice the kernel cost)
+        def _piece(tag: str, g: str) -> Column:
+            return F.struct(
+                F.lit(tag).alias("piece"),
+                F.col("__ov.n_pieces").alias("n_pieces"),
+                F.col(f"__ov.{g}_e12").alias("area_e12"),
+                F.col(f"__ov.{g}_n_rings").alias("n_rings"),
+                F.col(f"__ov.{g}_ring_pts").alias("ring_pts"),
+                F.col(f"__ov.{g}_wkt").alias("wkt"),
+            )
+
+        ex = res.withColumn(
+            "__p", F.explode(F.array(_piece("both", "inter"), _piece("left", "diff")))
+        )
+        right_out = {r_renames[c] for c in r_attrs} | {r_geom_out}
+        return ex.select(
+            *[
+                F.when(F.col("__p.piece") == "both", F.col(a)).alias(a)
+                if a in right_out
+                else F.col(a)
+                for a in out_attrs
+            ],
+            F.col("__p.*"),
+        ).filter(F.col("wkt").isNotNull())
+    g = _HOW_FIELDS[how]
+    return res.select(
+        *out_attrs,
+        F.col("__ov.n_pieces").alias("n_pieces"),
+        F.col(f"__ov.{g}_e12").alias("area_e12"),
+        F.col(f"__ov.{g}_n_rings").alias("n_rings"),
+        F.col(f"__ov.{g}_ring_pts").alias("ring_pts"),
+        F.col(f"__ov.{g}_wkt").alias("wkt"),
+    ).filter(F.col("wkt").isNotNull())
