@@ -22,6 +22,7 @@ from geospatial_spark.operators import dedup as dd
 from geospatial_spark.operators import sessions as sess_ops
 from geospatial_spark.operators import knn as knn_ops
 from geospatial_spark.operators import media as med
+from geospatial_spark.operators import overlay as ovl
 from geospatial_spark.operators import pip_join as pj
 from geospatial_spark.operators import similarity as sim
 from geospatial_spark.operators import textstats as ts
@@ -143,6 +144,20 @@ def _q_pip_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy_cell_rows=plan.heavy_cell_rows,
         point_cols=("url", "entity"),
     )
+
+
+def _q_pip_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5/N8 plan-variant twin checks in ONE registry entry (round-5 merge
+    freeing a slot for overlay_join): the forced-shuffle salted path and the
+    fully planner-chosen path, tagged by ``variant`` and unioned — BOTH
+    physical plans must agree with the single logical oracle."""
+    salted = _q_pip_join_salted(spark, sf_dir).withColumn(
+        "variant", F.lit("salted")
+    )
+    planned = _q_pip_join_planned(spark, sf_dir).withColumn(
+        "variant", F.lit("planned")
+    )
+    return salted.unionByName(planned)
 
 
 # K6 choropleth bin edges (explicit-bins semantics, karta.py:929-996): the
@@ -414,6 +429,19 @@ def _q_map_match_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ways_ops.map_match_cellring(trace, nodes, broadcast_nodes=True)
 
 
+def _q_map_match_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 both snap paths in ONE registry entry (round-5 merge freeing a
+    slot for overlay_identity): the exact broadcast snap and the cell-ring
+    scale path, tagged by ``variant`` and unioned — the cell-ring plan must
+    agree EXACTLY with the exact snap against the shared oracle (round-2
+    review item 3's guarantee, now driver-checked in one relation)."""
+    snap = _q_map_match(spark, sf_dir).withColumn("variant", F.lit("snap"))
+    ring = _q_map_match_cellring(spark, sf_dir).withColumn(
+        "variant", F.lit("cellring")
+    )
+    return snap.unionByName(ring)
+
+
 def _q_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5 marker-cluster transform (karta.py:757-766): coarse-cell groupBy
     with count + centroid.  Centroids via exact-int e6 sums (order-
@@ -617,6 +645,73 @@ def _q_clip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("geom_wkt", "diff_wkt", "union_wkt")
         )
     return parts[0].unionByName(parts[1])
+
+
+_OVERLAY_GEOMS = ("inter", "diff", "diff_ba", "union", "symdiff")
+
+
+def _q_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10 GENERAL overlay JOIN (round-5 verdict item 1 — ref poverlay
+    gutils.py:532-600 over two arbitrary GeoDataFrames): BOTH sides are
+    real WKB geometry tables — 64 HOLED region polygons (subject holes,
+    verdict item 3) × 276 concave star polygons — paired by
+    ``operators.overlay.overlay_join``'s bbox prefilter (broadcast
+    theta-join, zero shuffles) and overlaid in ONE
+    ``geo.geom.overlay_full`` kernel pass per pair (``how='all'``): exact
+    e12-int areas of A, B and ALL FIVE boolean regions — intersection,
+    difference, B∖A, union and symmetric_difference (verdict item 2) —
+    plus ring/vertex counts and md5(canonical fixed-9 WKT) geometry pins
+    for each.  Some stars fall entirely inside a subject's hole (bbox
+    overlap, empty intersection), so holed-subject semantics are
+    value-checked, not incidental.
+
+    The oracle VALUES map is generated by the SAME kernel over the shared
+    ``sources.fixtures`` buffers (kernel-circular like clip_general —
+    acknowledged; the independent evidence is the area-algebra/membership
+    invariant sweeps in tests/test_overlay_general.py and
+    tests/test_overlay_join.py), but the candidate PAIRING is verified
+    independently: the oracle recomputes it as a SQL bbox-overlap join of
+    the regions CTE against exact star-bbox literals."""
+    res = ovl.overlay_join(
+        src.regions_holed(spark),
+        src.star_polygons(spark),
+        how="all",
+        strategy="broadcast",
+    )
+    cols = [
+        F.col("region_id"), F.col("name"), F.col("n_pieces"),
+        F.col("area_a_e12"), F.col("area_b_e12"),
+    ]
+    for g in _OVERLAY_GEOMS:
+        cols += [
+            F.col(f"{g}_e12"),
+            F.col(f"{g}_n_rings"),
+            F.col(f"{g}_ring_pts"),
+            F.md5(F.col(f"{g}_wkt")).alias(f"{g}_md5"),
+        ]
+    return res.select(*cols)
+
+
+def _q_overlay_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10 ``how='identity'`` overlay mode (round-5 verdict item 2 — ref
+    gutils.py:547 lists five modes; geopandas identity = A∩B pieces keeping
+    BOTH sides' attributes + A∖B pieces keeping the left's, right
+    attributes NULL).  Runs ``operators.overlay.overlay_join`` end-to-end
+    on the same holed-region × star fixture tables: the row EXPLOSION
+    (piece='both' / piece='left' from one kernel evaluation) and the
+    right-attribute NULLing are what this entry pins beyond overlay_join's
+    value columns — ``name`` must be NULL on every 'left' piece and the
+    empty-piece rows must be absent."""
+    res = ovl.overlay_join(
+        src.regions_holed(spark),
+        src.star_polygons(spark),
+        how="identity",
+        strategy="broadcast",
+    )
+    return res.select(
+        "region_id", "name", "piece", "n_pieces", "area_e12",
+        "n_rings", "ring_pts", F.md5(F.col("wkt")).alias("wkt_md5"),
+    )
 
 
 def _q_geojson_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,13 +994,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merges near-duplicates — tiles z8+z12, the two compact round-trips,
     s2_cells→s2_tiles, frame_samples→media_features, corpus_split→
     corpus_curate — and upgrades the two cluster queries from rows-only to
-    recursive-CTE oracles so nothing is unchecked)."""
+    recursive-CTE oracles so nothing is unchecked).  Round 5 merges the
+    two plan-variant twin pairs (pip_join_salted+pip_join_planned→
+    pip_join_variants, map_match+map_match_cellring→map_match_variants —
+    same logical result, both physical plans still driver-checked via a
+    variant tag) to free the two slots for overlay_join and
+    overlay_identity (verdict items 1-3)."""
     return {
         "pages_invariant": _q_pages_invariant,
         "extract_geocode": _q_extract_geocode,
         "pip_join": _q_pip_join,
-        "pip_join_salted": _q_pip_join_salted,
-        "pip_join_planned": _q_pip_join_planned,
+        "pip_join_variants": _q_pip_join_variants,
         "pip_counts": _q_pip_counts,
         "tiles": _q_tiles,
         "knn_k5": _q_knn,
@@ -921,13 +1020,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_regions": _q_compact_regions,
         "vincenty_buckets": _q_vincenty_buckets,
         "ways_classify": _q_ways_classify,
-        "map_match": _q_map_match,
-        "map_match_cellring": _q_map_match_cellring,
+        "map_match_variants": _q_map_match_variants,
         "cluster_cells": _q_cluster_cells,
         "compact_roundtrips": _q_compact_roundtrips,
         "flatten3d_stats": _q_flatten3d,
         "clip_bbox": _q_clip_bbox,
         "clip_general": _q_clip_general,
+        "overlay_join": _q_overlay_join,
+        "overlay_identity": _q_overlay_identity,
         "geojson_regions": _q_geojson_regions,
         "lineage_counts": _q_lineage_counts,
         "tile_to_cells": _q_tile_to_cells,
@@ -1051,8 +1151,13 @@ def oracle_sql() -> dict[str, str]:
         "pages_invariant": G("SELECT url, lang, sha256(text) AS text_sha FROM pages"),
         "extract_geocode": G("SELECT url, entity, lat, lon FROM points"),
         "pip_join": G(pip_sql),
-        "pip_join_salted": G(pip_sql),
-        "pip_join_planned": G(pip_sql),
+        # both physical-plan variants must reproduce the one logical result
+        "pip_join_variants": G(
+            "SELECT v.variant, p.url, p.entity, r.region_id "
+            "FROM (VALUES ('planned'), ('salted')) v(variant) "
+            "CROSS JOIN points p JOIN regions r ON "
+            "p.lon >= r.minx AND p.lon <= r.maxx AND p.lat >= r.miny AND p.lat <= r.maxy"
+        ),
         "pip_counts": G(
             ", pc AS (SELECT r.region_id, count(*) AS n_points FROM points p JOIN regions r ON "
             "p.lon >= r.minx AND p.lon <= r.maxx AND p.lat >= r.miny AND p.lat <= r.maxy "
@@ -1148,27 +1253,9 @@ SELECT way_id, CAST(len(coords) AS BIGINT) AS n_points,
             THEN 'polygon' ELSE 'linestring' END AS kind
 FROM ways"""
         ),
-        "map_match": G(
-            f""", {osql.ways_ctes()},
-nodes AS (SELECT way_id, CAST(o - 1 AS INT) AS node_seq,
-                 coords[o].lon AS nlon, coords[o].lat AS nlat
-          FROM ways, LATERAL (SELECT unnest(range(1, len(coords) + 1)) AS o) t),
-trace AS (SELECT i // 10 AS traj_id, CAST(i % 10 AS INT) AS seq,
-                 CAST(lat * 1e6 AS BIGINT) / 1000000.0 AS tlat,
-                 CAST(lon * 1e6 AS BIGINT) / 1000000.0 AS tlon
-          FROM gaz),
-mcand AS (SELECT t.traj_id, t.seq, n.way_id AS snap_way, n.node_seq AS snap_seq,
-                 {hav.format(lat1="t.tlat", lon1="t.tlon", lat2="n.nlat", lon2="n.nlon")} AS dist_m
-          FROM trace t CROSS JOIN nodes n),
-mr AS (SELECT *, row_number() OVER (PARTITION BY traj_id, seq
-       ORDER BY dist_m ASC, snap_way ASC, snap_seq ASC) AS rk FROM mcand)
-SELECT traj_id, seq, snap_way, snap_seq,
-       CAST(floor(dist_m * 1000 + 0.5) AS BIGINT) AS dist_mm
-FROM mr WHERE rk = 1"""
-        ),
         # the cell-ring scale path must agree EXACTLY with the broadcast
-        # snap — same oracle (round-2 review item 3)
-        "map_match_cellring": G(
+        # snap — one logical oracle, both plan variants (round-2 item 3)
+        "map_match_variants": G(
             f""", {osql.ways_ctes()},
 nodes AS (SELECT way_id, CAST(o - 1 AS INT) AS node_seq,
                  coords[o].lon AS nlon, coords[o].lat AS nlat
@@ -1181,10 +1268,11 @@ mcand AS (SELECT t.traj_id, t.seq, n.way_id AS snap_way, n.node_seq AS snap_seq,
                  {hav.format(lat1="t.tlat", lon1="t.tlon", lat2="n.nlat", lon2="n.nlon")} AS dist_m
           FROM trace t CROSS JOIN nodes n),
 mr AS (SELECT *, row_number() OVER (PARTITION BY traj_id, seq
-       ORDER BY dist_m ASC, snap_way ASC, snap_seq ASC) AS rk FROM mcand)
-SELECT traj_id, seq, snap_way, snap_seq,
-       CAST(floor(dist_m * 1000 + 0.5) AS BIGINT) AS dist_mm
-FROM mr WHERE rk = 1"""
+       ORDER BY dist_m ASC, snap_way ASC, snap_seq ASC) AS rk FROM mcand),
+mm AS (SELECT traj_id, seq, snap_way, snap_seq,
+              CAST(floor(dist_m * 1000 + 0.5) AS BIGINT) AS dist_mm
+       FROM mr WHERE rk = 1)
+SELECT v.variant, mm.* FROM (VALUES ('snap'), ('cellring')) v(variant) CROSS JOIN mm"""
         ),
         "cluster_cells": G(
             f""", cq AS (SELECT {_quant_sql('lon', 180.0, 360.0, 32)} AS qx,
@@ -1265,6 +1353,49 @@ SELECT p.region_id, p.name, p.mode, CAST(cgm.n_pieces AS INT) AS n_pieces,
        CAST(cgm.union_md5 AS VARCHAR) AS union_md5
 FROM pairs p LEFT JOIN cgm ON cgm.region_id = p.region_id
   AND cgm.name = p.name AND cgm.mode = p.mode"""
+        ),
+        # candidate pairing recomputed IN SQL (regions CTE bbox × exact star
+        # bbox literals — the same predicate overlay_join's prefilter
+        # evaluates); values from the shared-kernel map
+        "overlay_join": G(
+            f""", {osql.star_bbox_values()},
+{osql.overlay_join_values()},
+op AS (SELECT r.region_id, s.name FROM regions r JOIN sbb s
+       ON r.minx <= s.smaxx AND s.sminx <= r.maxx
+      AND r.miny <= s.smaxy AND s.sminy <= r.maxy)
+SELECT p.region_id, p.name, CAST(m.n_pieces AS INT) AS n_pieces,
+       CAST(m.area_a_e12 AS BIGINT) AS area_a_e12,
+       CAST(m.area_b_e12 AS BIGINT) AS area_b_e12,
+"""
+            + ",\n".join(
+                f"       CAST(m.{g}_e12 AS BIGINT) AS {g}_e12,\n"
+                f"       CAST(m.{g}_n_rings AS INT) AS {g}_n_rings,\n"
+                f"       CAST(m.{g}_ring_pts AS INT) AS {g}_ring_pts,\n"
+                f"       CAST(m.{g}_md5 AS VARCHAR) AS {g}_md5"
+                for g in _OVERLAY_GEOMS
+            )
+            + "\nFROM op p JOIN ovm m ON m.region_id = p.region_id AND m.name = p.name"
+        ),
+        # identity = A∩B pieces with both attribute sets + A∖B pieces with
+        # right attributes NULL; empty pieces absent (md5 IS NULL ⇔ the
+        # Spark wkt filter)
+        "overlay_identity": G(
+            f""", {osql.star_bbox_values()},
+{osql.overlay_join_values()},
+op AS (SELECT r.region_id, s.name FROM regions r JOIN sbb s
+       ON r.minx <= s.smaxx AND s.sminx <= r.maxx
+      AND r.miny <= s.smaxy AND s.sminy <= r.maxy),
+j AS (SELECT m.* FROM op p JOIN ovm m ON m.region_id = p.region_id AND m.name = p.name)
+SELECT region_id, name, 'both' AS piece, CAST(n_pieces AS INT) AS n_pieces,
+       CAST(inter_e12 AS BIGINT) AS area_e12, CAST(inter_n_rings AS INT) AS n_rings,
+       CAST(inter_ring_pts AS INT) AS ring_pts, CAST(inter_md5 AS VARCHAR) AS wkt_md5
+FROM j WHERE inter_md5 IS NOT NULL
+UNION ALL
+SELECT region_id, CAST(NULL AS VARCHAR) AS name, 'left' AS piece,
+       CAST(n_pieces AS INT) AS n_pieces,
+       CAST(diff_e12 AS BIGINT) AS area_e12, CAST(diff_n_rings AS INT) AS n_rings,
+       CAST(diff_ring_pts AS INT) AS ring_pts, CAST(diff_md5 AS VARCHAR) AS wkt_md5
+FROM j WHERE diff_md5 IS NOT NULL"""
         ),
         "geojson_regions": G(
             f"""SELECT region_id,

@@ -93,7 +93,10 @@ def main() -> None:
     headline = [
         "extract_geocode",
         "pip_join",
-        "pip_join_salted",
+        # r5: salted+planned merged into one variants entry (runs BOTH
+        # physical plans — not comparable 1:1 to r4's pip_join_salted)
+        "pip_join_variants",
+        "overlay_join",
         "pip_counts",
         "tiles",
         "knn_k5",
@@ -119,11 +122,12 @@ def main() -> None:
     # best-of-3, applied uniformly to every query.  The first-pass total
     # is also emitted for transparency.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    # The two noise-dominant queries (widest measured spread across host
+    # The noise-dominant queries (widest measured spread across host
     # windows — BENCH/BASELINE.md §1c: dedup_minhash 10.5-19 s, knn_k5
-    # 10-19 s on identical code) get one extra best-of run so
-    # round-over-round deltas on them stay attributable to code, not steal.
-    extra_runs = {"dedup_minhash": 1, "knn_k5": 1}
+    # 10-19 s, knn_cellring 7.2-10.3 s on identical code) get one extra
+    # best-of run so round-over-round deltas on them stay attributable to
+    # code, not steal (knn_cellring added r5 — verdict item 8).
+    extra_runs = {"dedup_minhash": 1, "knn_k5": 1, "knn_cellring": 1}
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
     rowcounts: dict[str, int] = {}

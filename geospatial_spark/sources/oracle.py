@@ -336,6 +336,87 @@ def clip_general_values() -> str:
 
 
 @_functools.lru_cache(maxsize=None)
+def star_bbox_values() -> str:
+    """VALUES CTE body: (name, sminx, sminy, smaxx, smaxy) — the bbox of
+    every ``fixtures.star_polygon_rows`` WKB, computed from the SAME bytes
+    ``operators.overlay.overlay_join``'s prefilter parses (geo.geom.bbox),
+    so the SQL pairing join reproduces the Spark bbox-overlap prefilter
+    bit-exactly (exact-repr double literals)."""
+    from ..geo import geom as gm
+    from . import fixtures as FX
+
+    vals = []
+    for name, w in FX.star_polygon_rows():
+        x0, y0, x1, y1 = gm.bbox(gm.parse_wkb(w))
+        vals.append(
+            f"('{name}', {_dbl_exact(x0)}, {_dbl_exact(y0)}, "
+            f"{_dbl_exact(x1)}, {_dbl_exact(y1)})"
+        )
+    return f"sbb(name, sminx, sminy, smaxx, smaxy) AS (VALUES {', '.join(vals)})"
+
+
+_OVERLAY_GEOMS = ("inter", "diff", "diff_ba", "union", "symdiff")
+
+
+@_functools.lru_cache(maxsize=None)
+def overlay_join_values() -> str:
+    """VALUES CTE body for the ``overlay_join`` registry entry: one row per
+    bbox-candidate (region_id, name) pair of the holed-region × star fixture
+    tables, carrying the full five-way boolean overlay — n_pieces, exact
+    e12-int areas of A, B and all five regions, plus per-region ring/vertex
+    counts and md5(canonical fixed-9 WKT) geometry pins.  Generated by the
+    SAME kernel call the Spark UDF makes (``geo.geom.overlay_wkb`` over the
+    shared ``sources.fixtures`` buffers), so parity is bit-exact.
+
+    KERNEL-CIRCULAR by construction (like clip_general_values — acknowledged
+    in the entry docstring): the independent evidence is the invariant sweep
+    in tests/test_overlay_general.py / test_overlay_join.py (area algebra,
+    even-odd membership parity), not this map."""
+    import numpy as np
+
+    from ..geo import geom as gm
+    from . import fixtures as FX
+
+    def _e12(x: float) -> int:
+        return int(np.floor(x * 1e12 + 0.5))
+
+    hr = dict(FX.holed_region_rows())
+    sp = dict(FX.star_polygon_rows())
+    vals = []
+    for rid, name in FX.overlay_candidate_pairs():
+        res = gm.overlay_wkb(hr[rid], sp[name])
+        row = [
+            f"'{rid}'", f"'{name}'", str(res.n_pieces),
+            str(_e12(res.area_a)), str(_e12(res.area_b)),
+        ]
+        for area, rings in (
+            (res.inter, res.inter_rings),
+            (res.diff_ab, res.diff_rings),
+            (res.diff_ba, res.diff_ba_rings),
+            (res.union, res.union_rings),
+            (res.symdiff, res.symdiff_rings),
+        ):
+            wkt = gm.rings_canonical_wkt(rings)
+            md5 = (
+                "NULL" if wkt is None
+                else f"'{_hashlib.md5(wkt.encode()).hexdigest()}'"
+            )
+            row += [
+                str(_e12(area)),
+                str(len(rings)),
+                str(sum(len(r) - 1 for r in rings)),
+                md5,
+            ]
+        vals.append(f"({', '.join(row)})")
+    if not vals:
+        raise RuntimeError("overlay_join_values: empty kernel map")
+    cols = ["region_id", "name", "n_pieces", "area_a_e12", "area_b_e12"]
+    for g in _OVERLAY_GEOMS:
+        cols += [f"{g}_e12", f"{g}_n_rings", f"{g}_ring_pts", f"{g}_md5"]
+    return f"ovm({', '.join(cols)}) AS (VALUES {', '.join(vals)})"
+
+
+@_functools.lru_cache(maxsize=None)
 def s2_roundtrip_values_sql(level: int = 12, child_level: int = 14) -> str:
     """Pinned expected result of compact(uncompact(gaz_cells, child_level))
     over the constant gazetteer S2 cell set, computed by the LOCAL twins

@@ -139,6 +139,29 @@ def regions(spark: SparkSession) -> DataFrame:
     )
 
 
+def regions_holed(spark: SparkSession) -> DataFrame:
+    """The 64 region rectangles with a centered rectangular HOLE — the
+    holed-SUBJECT side of the ``overlay_join`` registry entry.  Bytes come
+    from ``sources.fixtures.holed_region_rows`` (the oracle VALUES map is
+    generated from the SAME buffers, so overlay results are bit-identical
+    by construction)."""
+    from . import fixtures as FX
+
+    rows = [(rid, bytearray(w)) for rid, w in FX.holed_region_rows()]
+    return spark.createDataFrame(rows, "region_id string, geometry binary")
+
+
+def star_polygons(spark: SparkSession) -> DataFrame:
+    """A concave 16-vertex star polygon around every gazetteer point — the
+    CLIP side of the ``overlay_join`` registry entry (real WKB geometry
+    column; same star shape the clip_general entry synthesizes inside its
+    UDF).  Bytes from ``sources.fixtures.star_polygon_rows``."""
+    from . import fixtures as FX
+
+    rows = [(name, bytearray(w)) for name, w in FX.star_polygon_rows()]
+    return spark.createDataFrame(rows, "name string, geometry binary")
+
+
 def extract_points(pages_df: DataFrame, gazetteer_df: DataFrame) -> DataFrame:
     """N4: text → geo-entity mentions → geocoded points.
 

@@ -583,3 +583,36 @@ def test_overlay_full_property_holed_subject_random_star_clip(
     )
     B = [np.vstack([B_ring, B_ring[:1]])]
     _check_full(A, B, (-1.9, -1.9), (1.9, 1.9), n_pts=120, seed=31)
+
+
+def test_overlay_join_registry_fixture_invariant_sweep():
+    """The INDEPENDENT evidence behind the overlay_join/overlay_identity
+    registry entries (their DuckDB oracle map is kernel-circular, like
+    clip_general's): over a deterministic sample of the actual fixture
+    pairs — HOLED region polygons × concave stars — every five-way boolean
+    output keeps the signed-area identities and even-odd membership parity
+    of _check_full, plus the holed-subject closed form |A| = shell − hole
+    from the region bbox algebra (exactly the invariant class the shared
+    md5 pin cannot check)."""
+    from geospatial_spark.sources import constants as C
+    from geospatial_spark.sources import fixtures as FX
+
+    hr = dict(FX.holed_region_rows())
+    sp = dict(FX.star_polygon_rows())
+    bbox = {
+        rid: (minx, miny, maxx, maxy)
+        for _i, rid, _c, minx, miny, maxx, maxy in C.region_rows()
+    }
+    pairs = FX.overlay_candidate_pairs()
+    assert len(pairs) >= 100  # the entry is not a toy pairing
+    for rid, name in pairs[::4]:  # every 4th pair: 44 full sweeps
+        A = gm.polygon_oriented_rings(gm.parse_wkb(hr[rid]))
+        B = gm.polygon_oriented_rings(gm.parse_wkb(sp[name]))
+        minx, miny, maxx, maxy = bbox[rid]
+        res = gm.overlay_full(A, B)
+        w, h = maxx - minx, maxy - miny
+        f = 1.0 - 2.0 * FX.HOLE_FRACTION
+        assert res.area_a == pytest.approx(w * h * (1.0 - f * f), rel=1e-12)
+        allc = np.vstack([r[:-1] for r in A + B])
+        lo, hi = allc.min(0) - 0.01, allc.max(0) + 0.01
+        _check_full(A, B, tuple(lo), tuple(hi), n_pts=80, seed=41)
