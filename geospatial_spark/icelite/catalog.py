@@ -360,6 +360,12 @@ def append_batch(
     if man is not None:
         if any(rec.get("batch") == batch_tag for rec in man["partitions"]):
             return man  # replayed batch — already committed, exactly-once
+        if batch_tag in man.get("retired_batches", []):
+            # the batch was committed and later COMPACTED away
+            # (rewrite_files): its rows live on in the compacted files, so
+            # a checkpoint replay must stay a no-op — re-appending would
+            # double them (the replay-after-compaction hazard)
+            return man
         if _writer_kind(man) != "append":
             # cross-mode guard (round-4 advice): appending to a
             # write_partitioned table would interleave hash-append pids
@@ -452,8 +458,172 @@ def append_batch(
     return man
 
 
+def rewrite_files(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    *,
+    fail_before_swap: bool = False,
+) -> dict[str, Any]:
+    """Iceberg ``rewrite_data_files`` analogue (round-5 verdict item 5):
+    bin-pack ALL committed data files into ONE fresh batch directory with
+    exactly one parquet file per partition, and commit it as a new
+    snapshot whose ``partitions`` list references only the compacted batch.
+
+    Why it exists: ``append_batch`` writes up to ``n_partitions`` files per
+    micro-batch, so a long-running stream accretes thousands of small
+    files — the classic Iceberg operational hazard at 100 TB.  After
+    compaction every read lists exactly ``n_partitions`` files.
+
+    Guarantees:
+      * row/checksum identity — the rows are re-bucketed with the SAME
+        committed partitioning (hash or the persisted range_bounds), and
+        the new per-partition lineage stats come from reading back the
+        compacted files (``_batch_stats``), so the manifest can never
+        disagree with the data;
+      * pinned-reader isolation — older snapshots' batch directories stay
+        referenced by their manifest files, which GC now consults
+        (``_live_batches``), so ``read_table(as_of=N)`` is untouched until
+        ``expire_snapshots`` explicitly reclaims them;
+      * replay idempotency — every compacted-away batch tag is recorded in
+        ``retired_batches`` (carried forward forever), so a streaming
+        checkpoint replaying a pre-compaction micro-batch stays a no-op;
+      * crash safety — data is written before the manifest swap; a kill in
+        between leaves an orphan directory the next writer GCs
+        (``fail_before_swap`` injects it for tests).
+
+    Scale note: the rewrite is one distributed read→repartition(__pid)→
+    write job (every partition's rows land in one task → one file); only
+    the per-partition stat rows reach the driver."""
+    _assert_local_root(root)
+    man = current_manifest(root, table)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest for {table} under {root}")
+    _gc_orphan_batches(root, table, man)  # clear a prior crashed compaction
+
+    n = man["n_partitions"]
+    key_col = man["key_col"]
+    bounds = man.get("range_bounds")
+    tag = f"c{man['version'] + 1}-{uuid.uuid4().hex[:8]}"
+    df = read_table(spark, root, table)
+
+    if bounds is not None:
+        pid_expr = F.lit(len(bounds))
+        for i in range(len(bounds) - 1, -1, -1):
+            pid_expr = F.when(
+                F.col(key_col) <= F.lit(bounds[i]), F.lit(i)
+            ).otherwise(pid_expr)
+        pid = pid_expr.cast("int")
+    else:
+        pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n)).cast("int")
+    staged = (
+        df.withColumn("__pid", pid)
+        .withColumn("__batch", F.lit(tag))
+        # one shuffle keyed on __pid: each partition's rows land in ONE
+        # task, so each pid directory holds exactly one compacted file
+        .repartition(n, F.col("__pid"))
+    )
+    staged.write.mode("append").partitionBy("__batch", "__pid").parquet(
+        _data_dir(root, table)
+    )
+    if fail_before_swap:
+        raise RuntimeError(
+            f"injected failure after compacted write of {tag!r}, before "
+            "manifest swap (compaction crash-window test)"
+        )
+    stats = _batch_stats(df, key_col, f"{_data_dir(root, table)}/__batch={tag}")
+    by_pid = {int(r["__pid"]): r for r in stats}
+    now = time.time()
+    base_pid = man["version"] * n if _writer_kind(man) == "append" else 0
+    recs = []
+    for p in range(n):
+        r = by_pid.get(p)
+        if r is None and _writer_kind(man) == "append":
+            continue  # append tables don't track empty pids per batch
+        recs.append(
+            {
+                "partition_id": base_pid + p,
+                "pid": p,
+                "batch": tag,
+                "row_count": r["row_count"] if r else 0,
+                "key_min": r["key_min"] if r else None,
+                "key_max": r["key_max"] if r else None,
+                "checksum": r["checksum"] if r else 0,
+                "stage": "compact",
+                "committed_at": now,
+            }
+        )
+    if not recs:  # an entirely-empty committed table still commits the tag
+        recs.append(
+            {
+                "partition_id": base_pid, "pid": 0, "batch": tag,
+                "row_count": 0, "key_min": None, "key_max": None,
+                "checksum": 0, "stage": "compact", "committed_at": now,
+            }
+        )
+    retired = sorted(
+        set(man.get("retired_batches", []))
+        | {rec.get("batch") for rec in man["partitions"] if rec.get("batch")}
+    )
+    new_man = dict(man)
+    new_man["version"] = man["version"] + 1
+    new_man["partitions"] = recs
+    new_man["retired_batches"] = retired
+    _swap_manifest(root, table, new_man)
+    return new_man
+
+
+def expire_snapshots(
+    root: str, table: str, *, keep_last: int = 1
+) -> list[int]:
+    """Iceberg ``expire_snapshots`` analogue — the space-reclaim half of
+    compaction: delete manifest files older than the newest ``keep_last``
+    snapshots, then remove every batch directory no surviving manifest
+    references (this is where compacted-away small files actually
+    disappear).  ``retired_batches`` in the head manifest is untouched —
+    the replay no-op contract survives expiry.  Pinned readers of an
+    expired version fail loudly (``manifest_at`` → FileNotFoundError)
+    rather than silently reading GC'd data.  Returns the expired
+    versions."""
+    _assert_local_root(root)
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    head = _version_pointer(root, table)
+    if head is None:
+        return []
+    cut = head - keep_last + 1
+    expired = []
+    md = _meta_dir(root, table)
+    for v in snapshots(root, table):
+        if v < cut:
+            os.remove(os.path.join(md, f"v{v}.json"))
+            expired.append(v)
+    man = current_manifest(root, table)
+    _gc_orphan_batches(root, table, man or {})
+    return expired
+
+
+def _live_batches(root: str, table: str, man: dict[str, Any]) -> set[str]:
+    """Batch directories referenced by ANY committed snapshot ≤ the VERSION
+    pointer, plus the (possibly in-flight) manifest passed in.  Before
+    round 5 the current manifest alone sufficed (its partitions list was a
+    superset of every older one — append-only); ``rewrite_files`` breaks
+    that superset property by REPLACING records, so GC must keep every
+    batch a pinned ``as_of`` reader could still bind to.  Space for
+    compacted-away files is reclaimed by ``expire_snapshots``, exactly like
+    Iceberg's rewrite_data_files / expire_snapshots split."""
+    live = {rec.get("batch") for rec in man.get("partitions", [])}
+    for v in snapshots(root, table):
+        try:
+            old = manifest_at(root, table, v)
+        except FileNotFoundError:  # expired snapshot
+            continue
+        live.update(rec.get("batch") for rec in old.get("partitions", []))
+    return live
+
+
 def _gc_orphan_batches(root: str, table: str, man: dict[str, Any]) -> None:
-    """Remove ``__batch=...`` directories no manifest record references —
+    """Remove ``__batch=...`` directories no committed manifest references —
     the leftovers of a write that was killed before its manifest swap.
     Single-writer protocol (documented); readers never see these dirs
     either way, GC just reclaims the space."""
@@ -462,7 +632,7 @@ def _gc_orphan_batches(root: str, table: str, man: dict[str, Any]) -> None:
     dd = _data_dir(root, table)
     if not os.path.isdir(dd):
         return
-    live = {rec.get("batch") for rec in man.get("partitions", [])}
+    live = _live_batches(root, table, man)
     for name in os.listdir(dd):
         if name.startswith("__batch=") and name.split("=", 1)[1] not in live:
             shutil.rmtree(os.path.join(dd, name), ignore_errors=True)

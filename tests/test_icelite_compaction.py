@@ -1,0 +1,182 @@
+"""icelite small-file compaction (round-5 verdict item 5 — the Iceberg
+rewrite_data_files / expire_snapshots split): row+checksum identity across
+a rewrite, one file per partition afterwards, pinned-reader isolation
+during compaction, replay idempotency for compacted-away streaming
+batches, crash-window safety, and space reclaim via snapshot expiry."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_spark.icelite import catalog as ice
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def _src(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("key", F.col("doc_id"))
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _xor_checksum(man):
+    x = 0
+    for rec in man["partitions"]:
+        x ^= rec["checksum"]
+    return x
+
+
+def _data_files(workdir, table):
+    return glob.glob(f"{workdir}/{table}/data/__batch=*/__pid=*/*.parquet")
+
+
+def test_rewrite_batch_table_identity_and_file_count(spark, workdir):
+    # 6 input tasks x 8 pids x 4 batches: every batch write fans out to
+    # several files per pid — the small-file fragmentation being compacted
+    df = _src(spark).repartition(6)
+    man0 = ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=8, batch_size=2
+    )
+    before = _rows(ice.read_table(spark, workdir, "t"))
+    files_before = len(_data_files(workdir, "t"))
+    man1 = ice.rewrite_files(spark, workdir, "t")
+    # identity: same rows, same global xor checksum, same total count
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+    assert _xor_checksum(man1) == _xor_checksum(man0)
+    assert sum(r["row_count"] for r in man1["partitions"]) == len(before)
+    # compaction: exactly one file per partition in ONE batch dir
+    live = {
+        f for f in _data_files(workdir, "t")
+        if f"__batch={man1['partitions'][0]['batch']}" in f
+    }
+    assert len(live) == 8 and files_before > 8
+    assert man1["version"] == man0["version"] + 1
+    # per-pid lineage agrees with the pre-compaction records
+    old = {r["pid"]: r for r in man0["partitions"]}
+    for rec in man1["partitions"]:
+        o = old[rec["pid"]]
+        assert (rec["row_count"], rec["key_min"], rec["key_max"], rec["checksum"]) \
+            == (o["row_count"], o["key_min"], o["key_max"], o["checksum"])
+    # a write_partitioned resume over the compacted table is a no-op
+    man2 = ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=8, batch_size=2
+    )
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+    assert {r["batch"] for r in man2["partitions"]} == {
+        man1["partitions"][0]["batch"]
+    }
+
+
+def test_rewrite_preserves_pinned_snapshots_until_expiry(spark, workdir):
+    df = _src(spark)
+    ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=4, batch_size=1
+    )
+    pin_v = ice._version_pointer(workdir, "t")
+    pinned_before = _rows(ice.read_table(spark, workdir, "t", as_of=pin_v))
+    man1 = ice.rewrite_files(spark, workdir, "t")
+    # pinned reader still binds to the ORIGINAL batch dirs, bit-identical
+    assert _rows(ice.read_table(spark, workdir, "t", as_of=pin_v)) == pinned_before
+    # ... and a post-compaction writer's GC must not collect them either
+    ice._gc_orphan_batches(workdir, "t", man1)
+    assert _rows(ice.read_table(spark, workdir, "t", as_of=pin_v)) == pinned_before
+    # expiry reclaims: old manifests gone, old batch dirs gone, head intact
+    expired = ice.expire_snapshots(workdir, "t", keep_last=1)
+    assert pin_v in expired
+    assert _rows(ice.read_table(spark, workdir, "t")) == pinned_before
+    batches = {
+        p.split("__batch=")[1].split("/")[0] for p in _data_files(workdir, "t")
+    }
+    assert batches == {man1["partitions"][0]["batch"]}
+    with pytest.raises(FileNotFoundError):
+        ice.read_table(spark, workdir, "t", as_of=pin_v)
+
+
+def test_rewrite_append_table_and_replay_noop_after_compaction(spark, workdir):
+    df = _src(spark)
+    a = df.filter(F.col("doc_id") % 3 == 0)
+    b = df.filter(F.col("doc_id") % 3 == 1)
+    for tag, part in (("sb0", a), ("sb1", b)):
+        ice.append_batch(
+            part, workdir, "t", stage="ing", key_col="key",
+            n_partitions=4, batch_tag=tag,
+        )
+    before = _rows(ice.read_table(spark, workdir, "t"))
+    man1 = ice.rewrite_files(spark, workdir, "t")
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+    assert set(man1["retired_batches"]) == {"sb0", "sb1"}
+    # checkpoint replay of a compacted-away micro-batch: MUST be a no-op
+    man2 = ice.append_batch(
+        a, workdir, "t", stage="ing", key_col="key",
+        n_partitions=4, batch_tag="sb0",
+    )
+    assert man2["version"] == man1["version"]
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+    # ... even after snapshot expiry removed the old manifests
+    ice.expire_snapshots(workdir, "t", keep_last=1)
+    man3 = ice.append_batch(
+        b, workdir, "t", stage="ing", key_col="key",
+        n_partitions=4, batch_tag="sb1",
+    )
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+    # a genuinely NEW micro-batch still appends normally
+    c = df.filter(F.col("doc_id") % 3 == 2)
+    ice.append_batch(
+        c, workdir, "t", stage="ing", key_col="key",
+        n_partitions=4, batch_tag="sb2",
+    )
+    assert len(_rows(ice.read_table(spark, workdir, "t"))) == df.count()
+    assert man3["version"] + 1 == ice._version_pointer(workdir, "t")
+
+
+def test_rewrite_crash_window_then_retry(spark, workdir):
+    df = _src(spark)
+    ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=4, batch_size=1
+    )
+    before = _rows(ice.read_table(spark, workdir, "t"))
+    v = ice._version_pointer(workdir, "t")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ice.rewrite_files(spark, workdir, "t", fail_before_swap=True)
+    # data written, manifest not swapped: readers see the old snapshot only
+    assert ice._version_pointer(workdir, "t") == v
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+    # retry GCs the orphan and commits exactly one compacted copy
+    man = ice.rewrite_files(spark, workdir, "t")
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+    assert sum(r["row_count"] for r in man["partitions"]) == len(before)
+
+
+def test_rewrite_range_partitioned_reuses_bounds(spark, workdir):
+    df = _src(spark)
+    bounds = [100, 200, 400]
+    man0 = ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key",
+        batch_size=1, range_bounds=bounds,
+    )
+    lo, hi = 150, 350
+    before = _rows(ice.read_range(spark, workdir, "t", lo, hi))
+    man1 = ice.rewrite_files(spark, workdir, "t")
+    assert man1["range_bounds"] == bounds
+    # range pruning still correct over the compacted files
+    assert _rows(ice.read_range(spark, workdir, "t", lo, hi)) == before
+    old = {r["pid"]: r for r in man0["partitions"]}
+    for rec in man1["partitions"]:
+        assert rec["checksum"] == old[rec["pid"]]["checksum"]
