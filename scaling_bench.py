@@ -126,6 +126,62 @@ def run_cellmath(spark, args) -> None:
     )
 
 
+def run_dedup_mat(spark, args, src) -> None:
+    """Dedup scaling workload (round-5 verdict item 6): MinHash64 +
+    LSH-band near-duplicate detection with exact Jaccard verification over
+    a PRE-MATERIALIZED pages table — production shape (the 100 TB corpus
+    job reads an Iceberg/parquet table), and the shuffle-heaviest workload
+    in the engine: shingle build is map-side, then two keyed exchanges
+    (band buckets → verified candidate pairs).  Same best-of-3 /
+    identical-bytes method as pipeline-mat."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.operators import dedup as dd
+
+    tag = args.sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    mat_path = f"/tmp/scaling_pages_{tag}_r{args.replication}.parquet"
+    if not os.path.isdir(mat_path):
+        src.pages(spark, args.sf_dir, replication=args.replication).repartition(
+            256
+        ).write.mode("overwrite").parquet(mat_path)
+
+    pages = spark.read.parquet(mat_path)
+    # the replicated corpus is near-dup-dense by construction (rep copies
+    # of each doc differ only in mention suffixes); the per-bucket cap
+    # bounds candidate generation exactly as it would on a real corpus
+    def job():
+        return dd.dedup_minhash(pages, max_bucket=64).count()
+
+    # warmup at a fraction of the corpus: JIT, codegen, Arrow/pandas-free
+    # path, shuffle services
+    dd.dedup_minhash(
+        pages.filter(F.col("page_id") % 16 == 0), max_bucket=64
+    ).count()
+
+    n_pages = pages.count()
+    best = 1e18
+    for _ in range(3):
+        t0 = time.time()
+        n_pairs = job()
+        best = min(best, time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "workload": "dedup-mat",
+                "cpus": args.cpus,
+                "replication": args.replication,
+                "pages": n_pages,
+                "verified_pairs": n_pairs,
+                "sec": round(best, 2),
+                "dedup_pipeline_pages_per_sec": round(n_pages / best, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=32)
@@ -133,7 +189,7 @@ def main() -> None:
     ap.add_argument("--replication", type=int, default=512)
     ap.add_argument(
         "--workload",
-        choices=("pipeline", "pipeline-mat", "cellmath"),
+        choices=("pipeline", "pipeline-mat", "cellmath", "dedup-mat"),
         default="pipeline",
         help="pipeline = flagship extract/join/tile with the synthetic page "
         "generator inside the timed lineage (memory-bandwidth-bound on this "
@@ -143,7 +199,11 @@ def main() -> None:
         "its input), so the measured work is scan+regex+join+agg; cellmath "
         "= pure JVM cell/trig math over numeric parquet (compute-bound "
         "control — isolates CPU scaling from the host's virtualized "
-        "memory-bandwidth ceiling)",
+        "memory-bandwidth ceiling); dedup-mat = MinHash/LSH near-dup "
+        "detection (shingle→sign→band→verify) over the same "
+        "pre-materialized pages table — the shuffle-heaviest workload a "
+        "100 TB corpus run actually spends its time in (round-5 verdict "
+        "item 6)",
     )
     ap.add_argument("--rows", type=int, default=40_000_000,
                     help="cellmath workload row count")
@@ -169,6 +229,11 @@ def main() -> None:
 
     if args.workload == "cellmath":
         run_cellmath(spark, args)
+        spark.stop()
+        return
+
+    if args.workload == "dedup-mat":
+        run_dedup_mat(spark, args, src)
         spark.stop()
         return
 
