@@ -704,8 +704,11 @@ def read_table(
     directories and a new manifest file, so a pinned read is
     snapshot-isolated by construction (tests/test_icelite_snapshots.py).
     GC can never break a pinned read either: orphan collection only
-    removes batch dirs referenced by NO manifest record, and the
-    partitions list is append-only across versions."""
+    removes batch dirs referenced by NO committed manifest, and since
+    ``rewrite_files`` can REPLACE partition records, ``_live_batches``
+    consults every committed snapshot's manifest — not just the head —
+    so a batch stays on disk until ``expire_snapshots`` drops the last
+    manifest that references it."""
     man = (
         current_manifest(root, table)
         if as_of is None

@@ -19,8 +19,9 @@ keeps the left side's (right attributes NULL), discriminated by ``piece``.
 At 100 TB: the prefilter is the whole story — candidate pairs, not table
 sizes, bound the kernel work.  ``strategy='broadcast'`` keeps the small
 side in memory (no shuffle at all); ``strategy='grid'`` maps both sides
-onto the shared geohash integer grid (two narrow shuffles, pairs
-deduplicated before the kernel) and survives two large inputs.
+onto the shared geohash integer grid (two narrow shuffles; multi-cell
+pairs deduplicated by canonical-cell reporting — a filter, not a
+distinct) and survives two large inputs.
 """
 
 from __future__ import annotations
@@ -69,11 +70,11 @@ def _bbox_overlap(margin: float) -> Column:
     )
 
 
-def _grid_cells(pre: str, precision: int, margin: float) -> Column:
-    """Covering cell ids of a bbox on the shared geohash integer grid —
-    the large×large pairing key.  Same quantization as the kNN ring join
-    (clamped both ends; lon wrap ignored because bboxes here are already
-    planar lon/lat rectangles, the engine's overlay domain)."""
+def _grid_quantizer(precision: int):
+    """(NI, NJ, _q) of the shared geohash integer grid at ``precision`` —
+    the same both-ends-clamped quantization as the kNN ring join (lon wrap
+    ignored because bboxes here are already planar lon/lat rectangles, the
+    engine's overlay domain)."""
     from ..geo import geohash as gh
 
     lon_bits, lat_bits = gh._bits(precision)
@@ -84,6 +85,13 @@ def _grid_cells(pre: str, precision: int, margin: float) -> Column:
             F.lit(n - 1), F.greatest(F.lit(0), F.floor((col + off) / span * n))
         ).cast("long")
 
+    return NI, NJ, _q
+
+
+def _grid_cells(pre: str, precision: int, margin: float) -> Column:
+    """Covering cell ids of a bbox on the shared grid — the large×large
+    pairing key."""
+    NI, NJ, _q = _grid_quantizer(precision)
     m = float(margin)
     x0 = _q(F.col(f"{pre}minx") - m, 180.0, 360.0, NI)
     x1 = _q(F.col(f"{pre}maxx") + m, 180.0, 360.0, NI)
@@ -129,8 +137,8 @@ def overlay_join(
     ``strategy='broadcast'`` broadcasts the RIGHT side into a bbox
     theta-join (zero shuffles — right must fit in executor memory);
     ``'grid'`` pairs via covering cells on the shared geohash grid at
-    ``grid_precision`` and deduplicates pairs before the kernel
-    (large×large; two keyed shuffles).  ``margin`` widens the bbox
+    ``grid_precision``, reporting each pair only in its canonical cell
+    (large×large; two keyed shuffles, no distinct).  ``margin`` widens the bbox
     prefilter (degrees) — semantically part of the pairing predicate.
     """
     if how not in HOWS:
@@ -156,11 +164,27 @@ def overlay_join(
     else:
         lc = l_bb.withColumn("__cell", _grid_cells("__l", grid_precision, 0.0))
         rc = r_bb.withColumn("__cell", _grid_cells("__r", grid_precision, margin))
+        # Canonical-cell reporting: a qualifying pair meets once per SHARED
+        # covering cell, so keep it only in the cell containing the min
+        # corner of the (left bbox) ∩ (margin-widened right bbox) region —
+        # that corner lies inside BOTH covering ranges whenever the bbox
+        # overlap predicate holds (max(lminx, rminx−m) ∈ [lminx, lmaxx] and
+        # ∈ [rminx−m, rmaxx+m]; _q is monotone), so exactly one copy
+        # survives.  A narrow filter instead of the wide dropDuplicates()
+        # shuffle of WKB-bearing rows — at scale the dedup would otherwise
+        # cost a third (and by far the heaviest) exchange.
+        NI, NJ, _q = _grid_quantizer(grid_precision)
+        m = float(margin)
+        cqx = _q(
+            F.greatest(F.col("__lminx"), F.col("__rminx") - m), 180.0, 360.0, NI
+        )
+        cqy = _q(
+            F.greatest(F.col("__lminy"), F.col("__rminy") - m), 90.0, 180.0, NJ
+        )
         pairs = (
             lc.join(rc, "__cell", "inner")
-            .filter(_bbox_overlap(margin))
+            .filter(_bbox_overlap(margin) & (F.col("__cell") == cqx * NJ + cqy))
             .drop("__cell")
-            .dropDuplicates()  # a pair meets once per shared covering cell
         )
     pairs = pairs.drop(
         *[f"__{s}{b}" for s in ("l", "r") for b in ("minx", "miny", "maxx", "maxy")]

@@ -104,11 +104,28 @@ def test_overlay_join_identity_semantics(spark, tables):
 
 def test_overlay_join_grid_strategy_equals_broadcast(spark, tables):
     left, right = tables
-    a = ov.overlay_join(left, right, "all", strategy="broadcast")
-    b = ov.overlay_join(left, right, "all", strategy="grid", grid_precision=3)
-    ka = sorted((r["lid"], r["rid"], r["inter_e12"]) for r in a.collect())
-    kb = sorted((r["lid"], r["rid"], r["inter_e12"]) for r in b.collect())
-    assert ka == kb and len(ka) >= 3
+    for margin in (0.0, 2.0, 100.0):
+        a = ov.overlay_join(left, right, "all", strategy="broadcast", margin=margin)
+        b = ov.overlay_join(
+            left, right, "all", strategy="grid", grid_precision=3, margin=margin
+        )
+        ka = sorted((r["lid"], r["rid"], r["inter_e12"]) for r in a.collect())
+        kb = sorted((r["lid"], r["rid"], r["inter_e12"]) for r in b.collect())
+        assert ka == kb and len(ka) >= 3, margin
+        # canonical-cell reporting: exactly one row per qualifying pair
+        assert len(kb) == len({(l, r) for l, r, _ in kb}), margin
+
+
+def test_overlay_join_grid_plan_has_no_dedup_aggregate(spark, tables):
+    """Grid pairing dedups by canonical-cell FILTER — the plan must have no
+    Aggregate (the old dropDuplicates cost a third, all-columns exchange of
+    WKB-bearing rows)."""
+    left, right = tables
+    plan = (
+        ov.overlay_join(left, right, "intersection", strategy="grid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Aggregate" not in plan
 
 
 def test_overlay_join_margin_widens_pairing(spark, tables):
