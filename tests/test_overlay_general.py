@@ -585,6 +585,78 @@ def test_overlay_full_property_holed_subject_random_star_clip(
     _check_full(A, B, (-1.9, -1.9), (1.9, 1.9), n_pts=120, seed=31)
 
 
+@given(
+    st.lists(st.floats(min_value=0.4, max_value=1.0), min_size=5, max_size=12),
+    st.floats(min_value=0.25, max_value=0.55),
+    st.floats(min_value=0.05, max_value=0.2),
+    st.floats(min_value=-0.8, max_value=0.8),
+    st.floats(min_value=-0.8, max_value=0.8),
+    st.floats(min_value=0.3, max_value=1.0),
+)
+@settings(max_examples=30, deadline=None)
+def test_overlay_full_property_holed_both_sides(
+    rb, b_hole_frac, a_hole_r, dx, dy, scale
+):
+    """Property with holes on BOTH sides (the fixed both-sides fixture is
+    the only other coverage of this path): a holed square subject against a
+    random star clip carrying a concentric scaled-down star HOLE — a
+    star-shaped ring scaled about its own center stays strictly inside
+    itself, so the hole is always valid.  All five boolean outputs must
+    keep the signed-area identities and even-odd membership parity."""
+    A = gm.polygon_oriented_rings(
+        gm.polygon(
+            _sq(-1.0, -1.0, 1.0, 1.0),
+            [_sq(-a_hole_r, -a_hole_r, a_hole_r, a_hole_r)],
+        )
+    )
+    nb = len(rb)
+    thb = 2.0 * np.pi * np.arange(nb) / nb
+    shell = np.column_stack(
+        [
+            dx + scale * np.asarray(rb) * np.cos(thb),
+            dy + scale * np.asarray(rb) * np.sin(thb),
+        ]
+    )
+    hole = np.column_stack(
+        [
+            dx + b_hole_frac * scale * np.asarray(rb) * np.cos(thb),
+            dy + b_hole_frac * scale * np.asarray(rb) * np.sin(thb),
+        ]
+    )
+    B = gm.polygon_oriented_rings(
+        gm.polygon(np.vstack([shell, shell[:1]]), [np.vstack([hole, hole[:1]])])
+    )
+    _check_full(A, B, (-1.9, -1.9), (1.9, 1.9), n_pts=120, seed=37)
+
+
+@given(
+    st.floats(min_value=0.1, max_value=0.9),
+    st.floats(min_value=0.1, max_value=0.9),
+    st.floats(min_value=-0.4, max_value=0.4),
+    st.floats(min_value=0.3, max_value=1.4),
+)
+@settings(max_examples=30, deadline=None)
+def test_overlay_full_property_multipart_both_sides(w_a, w_b, dy, gap):
+    """Property with MultiPolygon inputs on BOTH sides: two disjoint
+    subject parts × two disjoint clip parts at a random vertical offset —
+    up to four interaction regions per pair; identities and membership must
+    hold regardless of which parts actually intersect."""
+    A = gm.polygon_oriented_rings(
+        gm.multipolygon(
+            [gm.polygon(_sq(0, 0, w_a, 1)), gm.polygon(_sq(w_a + gap, 0, w_a + gap + w_a, 1))]
+        )
+    )
+    B = gm.polygon_oriented_rings(
+        gm.multipolygon(
+            [
+                gm.polygon(_sq(w_a / 2, dy, w_a / 2 + w_b, dy + 1)),
+                gm.polygon(_sq(w_a + gap / 2, dy - 1.2, w_a + gap / 2 + w_b, dy - 0.2)),
+            ]
+        )
+    )
+    _check_full(A, B, (-0.5, -2.0), (2 * w_a + gap + w_b + 0.5, 2.0), n_pts=120, seed=43)
+
+
 def test_overlay_join_registry_fixture_invariant_sweep():
     """The INDEPENDENT evidence behind the overlay_join/overlay_identity
     registry entries (their DuckDB oracle map is kernel-circular, like
