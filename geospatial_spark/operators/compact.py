@@ -55,7 +55,12 @@ def compact_geohash_df(cells: DataFrame, col: str = "cell") -> DataFrame:
         cur.unpersist()
         full.unpersist()
         cur = nxt
-    return cur
+    from ..functions import caching
+
+    # the returned set stays persisted (callers usually reuse it at least
+    # once); track it so release_all() reclaims the block — otherwise every
+    # invocation in a long-lived session leaks one cached cell set
+    return caching.track(cur)
 
 
 def uncompact_geohash_df(cells: DataFrame, precision: int, col: str = "cell") -> DataFrame:
@@ -152,7 +157,10 @@ def compact_s2_df(cells: DataFrame, col: str = "cell_id") -> DataFrame:
         full.unpersist()
         cur = nxt
         present.add(nl)  # promoted parents live at the next-coarser level
-    return cur
+    from ..functions import caching
+
+    # same repeated-invocation leak guard as compact_geohash_df
+    return caching.track(cur)
 
 
 def uncompact_s2_df(cells: DataFrame, level: int, col: str = "cell_id") -> DataFrame:

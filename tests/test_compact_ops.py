@@ -65,3 +65,23 @@ def test_uncompact_s2_df_matches_local(spark):
     want = sorted(np.uint64(c) for c in lc.uncompact_s2(cells, 11))
     assert got == want
     assert len(got) == 16
+
+
+def test_compact_persists_released_by_release_all(spark):
+    """The compact operators return a PERSISTED cell set; it must be
+    registered with the cache tracker so release_all() reclaims the block —
+    a long-lived session (bench loop, notebook) otherwise leaks one cached
+    set per invocation."""
+    from geospatial_spark.functions import caching
+
+    caching.release_all()
+    base = len(spark.sparkContext._jsc.getPersistentRDDs())
+    df = spark.createDataFrame(
+        [(p + c,) for p in ("u09", "u0a") for c in "0123456789bcdefghjkmnpqrstuvwxyz"],
+        "cell string",
+    )
+    dc.compact_geohash_df(df).count()
+    dc.compact_geohash_df(df).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > base
+    caching.release_all()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base
