@@ -142,6 +142,75 @@ def _rows_from_text(texts: Iterator[pd.Series], collection: bool):
         )
 
 
+def feature_line_udf():
+    """WKB geometry + id + properties map → one GeoJSON Feature per row
+    (Arrow-batched; the JSON-side inverse of the reader's parse).  Property
+    values that are valid JSON literals stay literals (the reader's
+    encoding), so write→read round-trips are exact; NULL geometry → NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _feat(wkb: pd.Series, fid: pd.Series, props: pd.Series) -> pd.Series:
+        out = []
+        for buf, i, p in zip(wkb, fid, props):
+            if buf is None:
+                out.append(None)
+                continue
+            properties = {}
+            for k, v in (p or {}).items():
+                try:
+                    properties[k] = json.loads(v)
+                except (ValueError, TypeError):
+                    properties[k] = v
+            out.append(
+                json.dumps(
+                    {
+                        "type": "Feature",
+                        "id": i,
+                        "geometry": geom_to_geojson_geometry(
+                            gm.parse_wkb(bytes(buf))
+                        ),
+                        "properties": properties,
+                    },
+                    separators=(",", ":"),
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    return _feat
+
+
+def write_geojson(
+    df: DataFrame,
+    path: str,
+    *,
+    geometry: str = "geometry",
+    feature_id: str = "feature_id",
+    properties: str | None = "properties",
+    mode: str = "error",
+) -> None:
+    """Write a WKB-geometry DataFrame as newline-delimited GeoJSON
+    Features (the JSON dump sink of the reference, ``gindex.py:93-98``,
+    generalized to full features): one text part-file per partition —
+    the same splittable layout ``read_geojson(layout='jsonl')`` scales
+    on, so write→read round-trips are byte-exact on the WKB.
+    ``properties=None`` writes empty property objects."""
+    from pyspark.sql import functions as F
+
+    feat = feature_line_udf()
+    props = (
+        F.col(properties)
+        if properties is not None
+        else F.create_map().cast("map<string,string>")
+    )
+    lines = df.select(
+        feat(F.col(geometry), F.col(feature_id).cast("string"), props).alias(
+            "value"
+        )
+    ).filter(F.col("value").isNotNull())
+    lines.write.mode(mode).text(path)
+
+
 def read_geojson(
     spark: SparkSession, path: str, *, layout: str = "jsonl"
 ) -> DataFrame:

@@ -140,3 +140,24 @@ def test_read_geojson_plan_is_scan_plus_arrow(spark, tmp_path):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_write_geojson_roundtrip(spark, tmp_path):
+    """write_geojson → read_geojson is WKB-byte-exact and preserves
+    property literals (the sink twin of the reader — ref gindex.py:93-98
+    JSON dump generalized to Features)."""
+    rows = [
+        (n, bytearray(gm.to_wkb(g)), {"name": n, "rank": str(i)})
+        for i, (n, g) in enumerate(GEOMS.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "feature_id string, geometry binary, properties map<string,string>"
+    )
+    out = os.path.join(str(tmp_path), "out")
+    gj.write_geojson(df, out)
+    back = {r["feature_id"]: r for r in gj.read_geojson(spark, out).collect()}
+    assert len(back) == len(GEOMS)
+    for n, g in GEOMS.items():
+        assert bytes(back[n]["geometry"]) == gm.to_wkb(g)
+        assert back[n]["properties"]["name"] == n
+        assert back[n]["error"] is None
