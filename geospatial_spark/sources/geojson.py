@@ -226,7 +226,24 @@ def read_geojson(
         raise ValueError(f"read_geojson: unknown layout {layout!r}")
     collection = layout == "collection"
     text = spark.read.text(path, wholetext=collection)
+    return _parse_text_df(text, collection)
 
+
+def read_geojson_stream(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING GeoJSON ingest: ``readStream.text`` over a directory of
+    newline-delimited Feature files → the same parsed relation as
+    ``read_geojson`` (feature_id, geom_type, WKB geometry, properties,
+    error), micro-batch by micro-batch.  New files dropped into ``path``
+    flow through the identical Arrow-batched parser — compose with the
+    engine's watermarked aggregations or the exactly-once icelite sink
+    (``streaming.sink.stream_to_icelite``) downstream.  JSONL only: a
+    FeatureCollection file is not line-splittable and has no incremental
+    reading story."""
+    text = spark.readStream.text(path)
+    return _parse_text_df(text, collection=False)
+
+
+def _parse_text_df(text: DataFrame, collection: bool) -> DataFrame:
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield from _rows_from_text((b["value"] for b in batches), collection)
 
