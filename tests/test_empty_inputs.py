@@ -76,3 +76,39 @@ def test_operators_handle_adversarial_text(spark):
     assert dd.dedup_ngram(df, max_block=16).count() == 1
     assert ts.text_quality(df, id_col="url").count() == len(rows)
     assert ts.repetition_stats(df, id_col="url").count() == 4
+
+
+def test_overlay_join_edge_inputs(spark):
+    """overlay_join: empty side → empty result; NULL geometry rows never
+    pair (NULL bbox fails the overlap predicate in both strategies);
+    non-polygonal WKB fails LOUDLY with the kernel's typed message, not a
+    deep numpy error."""
+    import numpy as np
+    import pytest
+
+    from geospatial_spark.geo import geom as gm
+    from geospatial_spark.operators import overlay as ov
+
+    def sq(x0, y0, x1, y1):
+        return np.array(
+            [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], float
+        )
+
+    poly = bytearray(gm.to_wkb(gm.polygon(sq(0, 0, 2, 2))))
+    left = spark.createDataFrame(
+        [("a", poly), ("n", None)], "lid string, geometry binary"
+    )
+    right = spark.createDataFrame([("b", poly)], "rid string, geometry binary")
+    empty = right.filter(F.lit(False))
+    for strategy in ("broadcast", "grid"):
+        assert ov.overlay_join(left, empty, "all", strategy=strategy).count() == 0
+        assert ov.overlay_join(
+            empty.withColumnRenamed("rid", "lid"), right, "all", strategy=strategy
+        ).count() == 0
+        rows = ov.overlay_join(left, right, "all", strategy=strategy).collect()
+        assert [r["lid"] for r in rows] == ["a"]  # NULL-geom row dropped
+
+    pt = bytearray(gm.to_wkb(gm.point(1.0, 1.0)))
+    bad = spark.createDataFrame([("p", pt)], "rid string, geometry binary")
+    with pytest.raises(Exception, match="not a polygonal"):
+        ov.overlay_join(left, bad, "all").collect()
