@@ -1159,6 +1159,76 @@ def _fixed9(v: int) -> str:
     return f"{sign}{v // 1_000_000_000}.{v % 1_000_000_000:09d}"
 
 
+def _split_depth0(s: str) -> list[str]:
+    """Split on commas at parenthesis depth 0."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
+def _strip_parens(s: str) -> str:
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        raise ValueError(f"WKT: expected parenthesized group, got {s[:40]!r}")
+    return s[1:-1]
+
+
+def _wkt_coords(s: str) -> np.ndarray:
+    pts = []
+    for tok in s.split(","):
+        xy = tok.split()
+        if len(xy) < 2:
+            raise ValueError(f"WKT: bad coordinate {tok!r}")
+        pts.append((float(xy[0]), float(xy[1])))  # Z/M dims dropped like WKB
+    return np.array(pts, dtype=np.float64)
+
+
+def parse_wkt(s: str) -> Geometry:
+    """WKT → Geometry (POINT / LINESTRING / POLYGON / MULTIPOLYGON, the
+    engine's geometry model; EMPTY → zero parts).  Inverse of
+    ``rings_canonical_wkt`` on its canonical output — fixed-9 decimals
+    parse back to the identical e9 grid (float() is correctly rounded and
+    |coord| < 2^53/1e9), so canonical-WKT → parse → canonical-WKT is the
+    identity.  The flat one-ring-per-polygon even-odd form the overlay
+    emits parses as a MultiPolygon of single-ring parts, matching its
+    documented even-odd semantics."""
+    t = s.strip()
+    up = t.upper()
+    for kw in ("MULTIPOLYGON", "LINESTRING", "POLYGON", "POINT"):
+        if up.startswith(kw):
+            body = t[len(kw):].strip()
+            break
+    else:
+        raise ValueError(f"WKT: unsupported geometry {t[:40]!r}")
+    if body.upper() == "EMPTY":
+        return Geometry({"POINT": "Point", "LINESTRING": "LineString",
+                         "POLYGON": "Polygon", "MULTIPOLYGON": "MultiPolygon"}[kw], [])
+    inner = _strip_parens(body)
+    if kw == "POINT":
+        return point(*map(float, inner.split()[:2]))
+    if kw == "LINESTRING":
+        return linestring(_wkt_coords(inner))
+    if kw == "POLYGON":
+        rings = [_wkt_coords(_strip_parens(r)) for r in _split_depth0(inner)]
+        return polygon(rings[0], rings[1:])
+    parts = []
+    for poly_s in _split_depth0(inner):
+        rings = [
+            _wkt_coords(_strip_parens(r))
+            for r in _split_depth0(_strip_parens(poly_s))
+        ]
+        parts.append(polygon(rings[0], rings[1:]))
+    return multipolygon(parts)
+
+
 def ring_area_planar(ring: np.ndarray) -> float:
     """Signed shoelace area (planar units of the ring's CRS)."""
     x = ring[:, 0]

@@ -365,3 +365,51 @@ def test_split_ring_antimeridian():
     ring3 = np.array([(181.0, 10.0), (183.0, 10.0), (183.0, 12.0), (181.0, 12.0), (181.0, 10.0)])
     (p3,) = split_ring_antimeridian(ring3)
     assert p3[:, 0].min() == -179.0 and p3[:, 0].max() == -177.0
+
+
+def _sq_wkt(x0, y0, x1, y1):
+    return np.array(
+        [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], dtype=np.float64
+    )
+
+
+def test_parse_wkt_geometry_types():
+    """WKT → Geometry for every modeled type, WKB-byte-equal to the
+    constructor forms (Z dims dropped, EMPTY → zero parts)."""
+    p = gm.parse_wkt("POINT (2.2945 48.8584)")
+    assert gm.to_wkb(p) == gm.to_wkb(gm.point(2.2945, 48.8584))
+    ls = gm.parse_wkt("LINESTRING (0 0, 1.5 2.25, 3 -1.125)")
+    assert gm.to_wkb(ls) == gm.to_wkb(
+        gm.linestring([(0, 0), (1.5, 2.25), (3, -1.125)])
+    )
+    poly = gm.parse_wkt(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    )
+    assert gm.to_wkb(poly) == gm.to_wkb(
+        gm.polygon(_sq_wkt(0, 0, 4, 4), [_sq_wkt(1, 1, 3, 3)])
+    )
+    mp = gm.parse_wkt(
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))"
+    )
+    assert gm.to_wkb(mp) == gm.to_wkb(
+        gm.multipolygon(
+            [gm.polygon(_sq_wkt(0, 0, 1, 1)), gm.polygon(_sq_wkt(2, 0, 3, 1))]
+        )
+    )
+    assert gm.parse_wkt("MULTIPOLYGON EMPTY").parts == []
+    with pytest.raises(ValueError, match="unsupported"):
+        gm.parse_wkt("MULTIPOINT ((0 0))")
+
+
+def test_parse_wkt_canonical_roundtrip_identity():
+    """canonical-WKT → parse_wkt → canonical-WKT is the identity (fixed-9
+    decimals land back on the identical e9 grid)."""
+    subj = gm.l_ring_from_bbox(0.0, 0.0, 1.0, 1.0)
+    star = gm.star_ring_numpy(0.45, 0.45, 40000.0, 22000.0, 16)
+    for rings in gm.overlay_boolean_rings(subj, star):
+        wkt = gm.rings_canonical_wkt(rings)
+        if wkt is None:
+            continue
+        back = gm.parse_wkt(wkt)
+        flat = [part[0] for part in back.parts]
+        assert gm.rings_canonical_wkt(flat) == wkt

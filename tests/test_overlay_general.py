@@ -688,3 +688,56 @@ def test_overlay_join_registry_fixture_invariant_sweep():
         allc = np.vstack([r[:-1] for r in A + B])
         lo, hi = allc.min(0) - 0.01, allc.max(0) + 0.01
         _check_full(A, B, tuple(lo), tuple(hi), n_pts=80, seed=41)
+
+
+def test_overlay_wkt_text_path_is_faithful():
+    """The md5 pins hash the canonical WKT STRING — this sweep checks the
+    string's CONTENT: re-parse it (geo.geom.parse_wkt, an independent
+    text→geometry path) and require the parsed rings to reproduce the
+    region's area (to e9-grid quantization) and even-odd membership vs the
+    SOURCE polygons, over a sample of the real registry fixture pairs.
+    A writer bug (wrong rotation, dropped ring, mangled decimal) would
+    pass the md5 pin but fail here."""
+    from geospatial_spark.sources import fixtures as FX
+
+    hr = dict(FX.holed_region_rows())
+    sp = dict(FX.star_polygon_rows())
+    pairs = FX.overlay_candidate_pairs()
+    rng = np.random.default_rng(47)
+    checked = 0
+    for rid, name in pairs[::8]:
+        A = gm.polygon_oriented_rings(gm.parse_wkb(hr[rid]))
+        B = gm.polygon_oriented_rings(gm.parse_wkb(sp[name]))
+        res = gm.overlay_full(A, B)
+        allc = np.vstack([r[:-1] for r in A + B])
+        lo, hi = allc.min(0) - 0.01, allc.max(0) + 0.01
+        pts = rng.uniform(lo, hi, size=(40, 2))
+        for rings, area, pred in (
+            (res.inter_rings, res.inter, lambda a, b: a and b),
+            (res.diff_rings, res.diff_ab, lambda a, b: a and not b),
+            (res.union_rings, res.union, lambda a, b: a or b),
+            (res.symdiff_rings, res.symdiff, lambda a, b: a != b),
+        ):
+            wkt = gm.rings_canonical_wkt(rings)
+            if wkt is None:
+                continue
+            flat = [part[0] for part in gm.parse_wkt(wkt).parts]
+            signed = sum(gm.ring_area_planar(r) for r in flat)
+            # e9 vertex quantization moves the area by ≤ ~perimeter·1e-9
+            assert signed == pytest.approx(area, abs=1e-6)
+            for px, py in pts:
+                in_a, in_b = _member(A, px, py), _member(B, px, py)
+                got = _member(flat, px, py)
+                if got != pred(in_a, in_b):
+                    # tolerate only quantization-boundary points: nudge
+                    # away from the nearest grid line and re-check
+                    qx = round(px / 1e-9) * 1e-9
+                    qy = round(py / 1e-9) * 1e-9
+                    assert abs(px - qx) < 1e-6 or abs(py - qy) < 1e-6 or (
+                        min(abs(px - v) for r in flat for v in r[:, 0])
+                        < 1e-6
+                        or min(abs(py - v) for r in flat for v in r[:, 1])
+                        < 1e-6
+                    )
+            checked += 1
+    assert checked >= 50
