@@ -128,6 +128,16 @@ def main() -> None:
     # best-of run so round-over-round deltas on them stay attributable to
     # code, not steal (knn_cellring added r5 — verdict item 8).
     extra_runs = {"dedup_minhash": 1, "knn_k5": 1, "knn_cellring": 1}
+    # Queries ending in a PURE PROJECTION of deterministic-UDF columns with
+    # no downstream filter/agg (overlay_join: how='all' keeps disjoint
+    # pairs) — a bare .count() lets Catalyst prune the whole kernel
+    # projection (same hazard the warmup comment above documents), so the
+    # timing would measure only the pairing join.  These materialize every
+    # output column instead (a count per column — forces the UDF, adds no
+    # meaningful agg cost).
+    force_all_columns = {"overlay_join"}
+    from pyspark.sql import functions as _F
+
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
     rowcounts: dict[str, int] = {}
@@ -139,7 +149,13 @@ def main() -> None:
         for r in range(runs + extra_runs.get(name, 0)):
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()  # full materialization incl. UDF refine stages
+            if name in force_all_columns:
+                row = df.agg(
+                    _F.count(_F.lit(1)), *(_F.count(c) for c in df.columns)
+                ).collect()[0]
+                n = row[0]
+            else:
+                n = df.count()  # full materialization incl. UDF refine stages
             dt = time.time() - t0
             if r == 0:
                 first_pass[name] = round(dt, 3)

@@ -50,7 +50,14 @@ _HOW_FIELDS = {
 
 
 def _with_bbox(df: DataFrame, geom: str, pre: str) -> DataFrame:
-    bb = udfs.wkb_bbox_udf()
+    # asNondeterministic is an EVALUATION BARRIER, not a semantic claim
+    # (the bbox of a WKB buffer is pure): without it Catalyst pushes the
+    # join condition / collapses projections THROUGH this UDF and
+    # evaluates it twice per side (measured: 4 ArrowEvalPython nodes in
+    # the broadcast theta-join plan, i.e. every input row parsed twice);
+    # with it, exactly once per side.  Plan-pinned in
+    # tests/test_overlay_join.py.
+    bb = udfs.wkb_bbox_udf().asNondeterministic()
     return df.withColumn("__bb", bb(F.col(geom))).select(
         "*",
         F.col("__bb.minx").alias(f"{pre}minx"),
@@ -190,7 +197,13 @@ def overlay_join(
         *[f"__{s}{b}" for s in ("l", "r") for b in ("minx", "miny", "maxx", "maxy")]
     )
 
-    ov = udfs.overlay_all_udf(quant=quant)
+    # Same evaluation barrier as _with_bbox, and here it guards the
+    # DOMINANT cost: for the filtered hows the non-empty filter below
+    # would otherwise be pushed through this projection and duplicate the
+    # kernel — measured 2 `_ov` evaluations per pair in the
+    # how='intersection' plan (the exact double-pass class the r4 verdict
+    # flagged in clip_general_udf).  Plan-pinned: exactly one _ov node.
+    ov = udfs.overlay_all_udf(quant=quant).asNondeterministic()
     res = pairs.withColumn("__ov", ov(F.col(left_geom), F.col(r_geom_out)))
 
     out_attrs = l_attrs + [left_geom] + [r_renames[c] for c in r_attrs] + [r_geom_out]

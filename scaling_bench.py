@@ -182,6 +182,89 @@ def run_dedup_mat(spark, args, src) -> None:
     )
 
 
+def run_overlay_mat(spark, args) -> None:
+    """Overlay scaling workload (round-5 operator): pairwise five-way
+    boolean overlay of the holed-region table against a replicated star
+    table via ``overlay_join`` (broadcast bbox prefilter, one
+    ``overlay_full`` kernel call per candidate pair).  Pair kernels are
+    independent — the workload is embarrassingly parallel once paired, so
+    this measures the Arrow/pandas-UDF scaling path specifically (the
+    geometry kernels are the engine's only deliberate Python).  Both
+    sides pre-materialized as parquet; identical bytes per config."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.operators import overlay as ov
+    from geospatial_spark.sources import fixtures as FX
+
+    rep = args.replication
+    stars_path = f"/tmp/scaling_overlay_stars_r{rep}.parquet"
+    regions_path = "/tmp/scaling_overlay_regions.parquet"
+    if not os.path.isdir(stars_path):
+        rows = [
+            (f"{name}#{k}", bytearray(w))
+            for name, w in FX.star_polygon_rows()
+            for k in range(rep)
+        ]
+        spark.createDataFrame(rows, "name string, geometry binary").repartition(
+            64
+        ).write.mode("overwrite").parquet(stars_path)
+    if not os.path.isdir(regions_path):
+        spark.createDataFrame(
+            [(rid, bytearray(w)) for rid, w in FX.holed_region_rows()],
+            "region_id string, geometry binary",
+        ).write.mode("overwrite").parquet(regions_path)
+
+    stars = spark.read.parquet(stars_path)
+    regions = spark.read.parquet(regions_path)
+
+    # how='all' keeps disjoint pairs (no filter touches the UDF output),
+    # so a bare count() would let Catalyst PRUNE the overlay UDF and time
+    # only the bbox join — the aggregate below consumes kernel columns,
+    # forcing one overlay_full pass per pair, and its exact-int sums
+    # double as a cross-config identity checksum.
+    def job():
+        row = (
+            ov.overlay_join(
+                stars, regions, "all", left_geom="geometry", right_geom="geometry"
+            )
+            .agg(
+                F.count("*").alias("pairs"),
+                F.sum("inter_e12").alias("inter_sum"),
+                F.sum("union_ring_pts").alias("pts_sum"),
+            )
+            .collect()[0]
+        )
+        return int(row["pairs"]), int(row["inter_sum"]), int(row["pts_sum"])
+
+    # warmup: JIT + Arrow channel + python worker pool at task width
+    ov.overlay_join(
+        stars.filter(F.col("name").endswith("#0")), regions, "all"
+    ).agg(F.sum("inter_e12")).collect()
+    n_pairs = inter_sum = pts_sum = 0
+    best = 1e18
+    for _ in range(3):
+        t0 = time.time()
+        n_pairs, inter_sum, pts_sum = job()
+        best = min(best, time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "workload": "overlay-mat",
+                "cpus": args.cpus,
+                "replication": rep,
+                "pairs": n_pairs,
+                "inter_sum_e12": inter_sum,
+                "pts_sum": pts_sum,
+                "sec": round(best, 2),
+                "overlay_pairs_per_sec": round(n_pairs / best, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=32)
@@ -189,7 +272,7 @@ def main() -> None:
     ap.add_argument("--replication", type=int, default=512)
     ap.add_argument(
         "--workload",
-        choices=("pipeline", "pipeline-mat", "cellmath", "dedup-mat"),
+        choices=("pipeline", "pipeline-mat", "cellmath", "dedup-mat", "overlay-mat"),
         default="pipeline",
         help="pipeline = flagship extract/join/tile with the synthetic page "
         "generator inside the timed lineage (memory-bandwidth-bound on this "
@@ -234,6 +317,11 @@ def main() -> None:
 
     if args.workload == "dedup-mat":
         run_dedup_mat(spark, args, src)
+        spark.stop()
+        return
+
+    if args.workload == "overlay-mat":
+        run_overlay_mat(spark, args)
         spark.stop()
         return
 

@@ -146,3 +146,54 @@ def test_overlay_join_broadcast_plan_has_no_exchange(spark, tables):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange" not in plan.replace("BroadcastExchange", "BX")
+
+
+def test_overlay_all_count_prunes_kernel_but_column_agg_forces_it(spark, tables):
+    """TIMING-HONESTY PIN: ``how='all'`` keeps disjoint pairs, so nothing
+    downstream filters on the kernel output — under a bare ``count()``
+    Catalyst prunes the deterministic overlay UDF entirely (no
+    ArrowEvalPython in the optimized plan; the 'timed' job would be just
+    the bbox join).  bench.py and scaling_bench.py therefore materialize
+    every output column via a per-column count aggregate, which this test
+    pins as actually forcing the kernel.  If a Spark upgrade ever changes
+    either behavior, the bench methodology notes must be revisited."""
+    left, right = tables
+    res = ov.overlay_join(left, right, "all")
+
+    pruned = (
+        res.groupBy().count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the bbox UDFs survive (they ARE the join condition); the kernel must not
+    assert "_ov(" not in pruned
+
+    forced = (
+        res.agg(F.count(F.lit(1)), *(F.count(c) for c in res.columns))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert forced.count("_ov(") == 1
+
+
+def test_overlay_join_kernel_and_bbox_evaluated_exactly_once(spark, tables):
+    """Evaluation-count pin (the r4-verdict double-pass class): every how
+    must plan exactly ONE `_ov` kernel node, and each side's bbox UDF
+    exactly once — without the asNondeterministic barriers in
+    operators/overlay.py, filter pushdown duplicates the kernel (2×
+    dominant cost) and condition substitution duplicates each bbox parse."""
+    import re
+
+    left, right = tables
+    for how in ("intersection", "difference", "union",
+                "symmetric_difference", "identity", "all"):
+        plan = (
+            ov.overlay_join(left, right, how)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert len(re.findall(r"_ov\(", plan)) == 1, how
+        assert len(re.findall(r"_bbox\(", plan)) == 2, how
+    grid = (
+        ov.overlay_join(left, right, "intersection", strategy="grid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"_ov\(", grid)) == 1
+    assert len(re.findall(r"_bbox\(", grid)) == 2
