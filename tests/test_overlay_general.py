@@ -741,3 +741,58 @@ def test_overlay_wkt_text_path_is_faithful():
                     )
             checked += 1
     assert checked >= 50
+
+
+def test_overlay_invariants_at_extreme_coordinates():
+    """Anti-overflow sweep far from the origin (the r4 int64-shoelace bug
+    class: e9-grid coordinate products overflow numpy int64 beyond ~lon 3
+    and every synthetic fixture sat near the origin).  Random concave
+    star pairs centered at the lon/lat extremes (±179.x, ±89.x) across
+    three size decades, checking the full closed-form algebra AND that
+    every boolean geometry's signed ring-area sum matches its area —
+    orientation flips or wrong lobes break these immediately."""
+    rng = np.random.default_rng(20260819)
+
+    def star(cx, cy, radii, phase):
+        n = len(radii)
+        ang = phase + np.arange(n) * (2 * np.pi / n)
+        pts = np.stack(
+            [cx + radii * np.cos(ang), cy + radii * np.sin(ang)], axis=1
+        )
+        return np.vstack([pts, pts[:1]])
+
+    corners = [(179.0, 89.0), (-179.0, -89.0), (179.5, -89.5),
+               (-179.5, 89.5), (0.0, 89.9), (179.9, 0.0)]
+    for t in range(48):
+        cx, cy = corners[t % len(corners)]
+        cx += rng.uniform(-0.05, 0.05)
+        cy += rng.uniform(-0.05, 0.05)
+        scale = 10.0 ** rng.uniform(-4, -1)
+        na, nb = int(rng.integers(5, 12)), int(rng.integers(5, 12))
+        ra = star(cx, cy, scale * rng.uniform(0.3, 1.0, na),
+                  rng.uniform(0, 2 * np.pi))
+        off = scale * rng.uniform(-0.8, 0.8, 2)
+        rb = star(cx + off[0], cy + off[1],
+                  scale * rng.uniform(0.3, 1.0, nb),
+                  rng.uniform(0, 2 * np.pi))
+        wa = gm.to_wkb(gm.Geometry("Polygon", [[ra]]))
+        wb = gm.to_wkb(gm.Geometry("Polygon", [[rb]]))
+        r = gm.overlay_wkb(wa, wb)
+        A, B = r.area_a, r.area_b
+        big = max(A, B, 1e-12)
+        assert abs((A + B - r.inter) - r.union) < 1e-9 * big
+        assert abs((A - r.inter) - r.diff_ab) < 1e-9 * max(A, 1e-12)
+        assert abs((B - r.inter) - r.diff_ba) < 1e-9 * max(B, 1e-12)
+        assert abs((r.union - r.inter) - r.symdiff) < 1e-9 * big
+        # kernel area vs float shoelace of the raw input ring
+        assert A == pytest.approx(abs(gm.ring_area_planar(ra)),
+                                  rel=1e-6, abs=1e-12)
+        for rings, want in (
+            (r.inter_rings, r.inter), (r.diff_rings, r.diff_ab),
+            (r.diff_ba_rings, r.diff_ba), (r.union_rings, r.union),
+            (r.symdiff_rings, r.symdiff),
+        ):
+            s = 0.0 if rings is None else sum(
+                gm.ring_area_planar(np.asarray(rg)) for rg in rings
+            )
+            assert abs(s - want) <= max(2e-8, 1e-5 * max(want, 1e-12))
