@@ -128,14 +128,21 @@ def main() -> None:
     # best-of run so round-over-round deltas on them stay attributable to
     # code, not steal (knn_cellring added r5 — verdict item 8).
     extra_runs = {"dedup_minhash": 1, "knn_k5": 1, "knn_cellring": 1}
-    # Queries ending in a PURE PROJECTION of deterministic-UDF columns with
-    # no downstream filter/agg (overlay_join: how='all' keeps disjoint
-    # pairs) — a bare .count() lets Catalyst prune the whole kernel
-    # projection (same hazard the warmup comment above documents), so the
-    # timing would measure only the pairing join.  These materialize every
-    # output column instead (a count per column — forces the UDF, adds no
-    # meaningful agg cost).
-    force_all_columns = {"overlay_join"}
+    # Queries ending in a PURE PROJECTION of deterministic expressions with
+    # no downstream filter/agg — a bare .count() lets Catalyst prune the
+    # whole projection (same hazard the warmup comment above documents), so
+    # the timing would measure only the row-count-determining prefix.
+    # Found by a full plan audit (count() plan vs all-columns-agg plan,
+    # per query): overlay_join (how='all' keeps disjoint pairs — the
+    # overlay kernel UDF vanished), text_quality (19 regexp nodes, 8
+    # aggregates and 2 joins vanished — the count was answerable from the
+    # scan), polyfill_regions (the per-cell geometry UDF after the
+    # count-determining explode vanished).  Every other bench query's
+    # count() plan keeps all Arrow/MapInPandas/regexp/agg/join nodes
+    # (row count depends on them).  These three materialize every output
+    # column instead (a count per column — forces the full projection,
+    # adds no meaningful agg cost).
+    force_all_columns = {"overlay_join", "text_quality", "polyfill_regions"}
     from pyspark.sql import functions as _F
 
     timings: dict[str, float] = {}

@@ -184,3 +184,40 @@ def test_knn_cellring_adaptive_probe_join_broadcast(spark):
     p = _plan(out)
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert not re.findall(r"SortMergeJoin[^\n]*\n[^\n]*__probe", p)
+
+
+def test_bench_force_all_columns_set_matches_count_pruning_audit(spark):
+    """TIMING-HONESTY PIN for bench.py's force_all_columns set: a bare
+    count() must prune meaningful work (Arrow/regexp/agg/join nodes) for
+    EXACTLY the queries in the set and for no others — if Catalyst ever
+    changes what it prunes, the bench methodology must be re-audited.
+    The per-column count aggregate must restore every pruned node."""
+    import __spark_entry__ as entry_mod
+
+    def counts(plan: str) -> tuple[int, int, int, int]:
+        return (
+            len(re.findall(r"ArrowEvalPython", plan)),
+            len(re.findall(r"regexp_extract|regexp_replace|rlike", plan)),
+            len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan)),
+            len(re.findall(r"Join", plan)),
+        )
+
+    qs = entry_mod.queries()
+    bench_queries = [
+        "extract_geocode", "pip_join", "pip_join_variants", "overlay_join",
+        "pip_counts", "tiles", "knn_k5", "pages_invariant", "dedup_exact",
+        "dedup_minhash", "dedup_simhash", "ann_topk", "text_quality",
+        "lang_id", "polyfill_regions", "knn_cellring", "media_features",
+    ]
+    force = {"overlay_join", "text_quality", "polyfill_regions"}
+    for name in bench_queries:
+        df = qs[name](spark, SF)
+        full = _plan(
+            df.agg(F.count(F.lit(1)), *(F.count(c) for c in df.columns))
+        )
+        cnt = _plan(df.groupBy().count())
+        pruned = any(c < f for c, f in zip(counts(cnt), counts(full)))
+        assert pruned == (name in force), (
+            f"{name}: count()-pruning audit changed — update "
+            f"bench.py force_all_columns and BENCH/BASELINE.md §1e"
+        )
