@@ -31,11 +31,12 @@ order-insensitive ``bit_xor(xxhash64(...))`` so it is shuffle-free to verify.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
 import uuid
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -143,18 +144,54 @@ def _committed_batch_pid_filter(man: dict[str, Any]):
     return cond
 
 
-def _swap_manifest(root: str, table: str, manifest: dict[str, Any]) -> None:
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a snapshot after this commit's base
+    manifest was read (Iceberg's optimistic-concurrency CAS failure).
+    Nothing was lost: the loser's data files are an orphan batch the next
+    writer GCs, and the caller retries from the fresh manifest."""
+
+
+def _swap_manifest(
+    root: str, table: str, manifest: dict[str, Any], *, expected_version: int | None
+) -> None:
+    """Commit ``manifest`` iff the table is still at ``expected_version``.
+
+    Optimistic concurrency (Iceberg's commit CAS): every writer computes
+    its new snapshot from a base manifest; if the VERSION pointer moved in
+    the meantime — e.g. a streaming ``append_batch`` landing DURING a
+    minutes-long ``rewrite_files`` job — an unconditional swap would
+    overwrite the concurrent snapshot and its rows would silently vanish
+    from reads (a lost update violating the exactly-once sink's no-loss
+    contract).  The check-and-swap runs under an exclusive flock on
+    ``metadata/.commit.lock`` (the root is asserted local, where flock is
+    reliable), so the window is closed, not merely shrunk.  On conflict
+    the commit raises ``ConcurrentCommitError`` and the already-written
+    batch directory stays an orphan for the next writer's GC.
+    """
     md = _meta_dir(root, table)
     os.makedirs(md, exist_ok=True)
-    v = manifest["version"]
-    tmp = os.path.join(md, f".v{v}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, os.path.join(md, f"v{v}.json"))
-    tmpv = os.path.join(md, ".VERSION.tmp")
-    with open(tmpv, "w") as f:
-        f.write(str(v))
-    os.rename(tmpv, os.path.join(md, "VERSION"))  # atomic pointer swap
+    with open(os.path.join(md, ".commit.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            cur = _version_pointer(root, table)
+            if cur != expected_version:
+                raise ConcurrentCommitError(
+                    f"table {table!r}: commit based on version "
+                    f"{expected_version} but the table is now at {cur} — "
+                    "a concurrent writer committed; retry from the fresh "
+                    "manifest"
+                )
+            v = manifest["version"]
+            tmp = os.path.join(md, f".v{v}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.rename(tmp, os.path.join(md, f"v{v}.json"))
+            tmpv = os.path.join(md, ".VERSION.tmp")
+            with open(tmpv, "w") as f:
+                f.write(str(v))
+            os.rename(tmpv, os.path.join(md, "VERSION"))  # atomic pointer swap
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def _batch_stats(df: DataFrame, key_col: str, batch_dir: str) -> list:
@@ -218,6 +255,7 @@ def write_partitioned(
     """
     _assert_local_root(root)
     man = current_manifest(root, table)
+    prev_version = None if man is None else man["version"]
     if man is not None:
         # cross-mode guard (round-4 advice): a resume over an APPENDED
         # table would misread namespaced append partition_ids as its own
@@ -281,7 +319,7 @@ def write_partitioned(
             "writer": "batch",
             "partitions": [],
         }
-    _gc_orphan_batches(root, table, man)
+    _gc_orphan_batches(root, table, man, own_prefixes=("b",))
 
     batches = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
     for bi, batch in enumerate(batches):
@@ -291,6 +329,7 @@ def write_partitioned(
         part = staged.filter(F.col("__pid").isin(batch)).withColumn(
             "__batch", F.lit(bname)
         )
+        _mark_inflight(root, table, bname)
         (
             part.write.mode("append")
             .partitionBy("__batch", "__pid")
@@ -324,7 +363,13 @@ def write_partitioned(
                 }
             )
         man["version"] += 1
-        _swap_manifest(root, table, man)
+        try:
+            _swap_manifest(root, table, man, expected_version=prev_version)
+        finally:
+            # committed (dir is live) or CAS-lost (dir is a plain orphan):
+            # either way the in-flight shield is no longer needed
+            _clear_inflight(root, table, bname)
+        prev_version = man["version"]
     return man
 
 
@@ -357,6 +402,7 @@ def append_batch(
     if "/" in batch_tag or "=" in batch_tag:
         raise ValueError(f"invalid batch_tag {batch_tag!r}")
     man = current_manifest(root, table)
+    prev_version = None if man is None else man["version"]
     if man is not None:
         if any(rec.get("batch") == batch_tag for rec in man["partitions"]):
             return man  # replayed batch — already committed, exactly-once
@@ -405,10 +451,13 @@ def append_batch(
             "writer": "append",
             "partitions": [],
         }
-    _gc_orphan_batches(root, table, man)  # removes THIS tag's crashed try too
+    # removes THIS tag's crashed try too (own prefix = the exact tag; other
+    # streaming tags' in-flight dirs stay shielded by their markers)
+    _gc_orphan_batches(root, table, man, own_prefixes=(batch_tag,))
 
     pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_partitions)).cast("int")
     staged = df.withColumn("__pid", pid).withColumn("__batch", F.lit(batch_tag))
+    _mark_inflight(root, table, batch_tag)
     (
         staged.write.mode("append")
         .partitionBy("__batch", "__pid")
@@ -454,7 +503,15 @@ def append_batch(
             }
         )
     man["version"] += 1
-    _swap_manifest(root, table, man)
+    # a conflicting concurrent commit (e.g. a compaction finishing during
+    # this micro-batch) raises ConcurrentCommitError → the streaming query
+    # fails and its restart REPLAYS the batch: the tag was never committed,
+    # the orphan data dir is GC'd, and the append is attempted again —
+    # exactly-once holds through the conflict
+    try:
+        _swap_manifest(root, table, man, expected_version=prev_version)
+    finally:
+        _clear_inflight(root, table, batch_tag)
     return man
 
 
@@ -464,6 +521,7 @@ def rewrite_files(
     table: str,
     *,
     fail_before_swap: bool = False,
+    on_before_swap: Callable[[], None] | None = None,
 ) -> dict[str, Any]:
     """Iceberg ``rewrite_data_files`` analogue (round-5 verdict item 5):
     bin-pack ALL committed data files into ONE fresh batch directory with
@@ -490,7 +548,14 @@ def rewrite_files(
         checkpoint replaying a pre-compaction micro-batch stays a no-op;
       * crash safety — data is written before the manifest swap; a kill in
         between leaves an orphan directory the next writer GCs
-        (``fail_before_swap`` injects it for tests).
+        (``fail_before_swap`` injects it for tests);
+      * concurrent-writer safety — the final swap is a CAS against the
+        base manifest's version: a snapshot committed DURING the (at
+        100 TB, minutes-long) rewrite job — e.g. a streaming micro-batch
+        append — makes the compaction lose with ``ConcurrentCommitError``
+        instead of silently overwriting that snapshot and dropping its
+        rows; the caller re-runs the compaction over the fresh manifest
+        (``on_before_swap`` injects a concurrent commit for tests).
 
     Scale note: the rewrite is one distributed read→repartition(__pid)→
     write job (every partition's rows land in one task → one file); only
@@ -499,7 +564,9 @@ def rewrite_files(
     man = current_manifest(root, table)
     if man is None:
         raise FileNotFoundError(f"no committed manifest for {table} under {root}")
-    _gc_orphan_batches(root, table, man)  # clear a prior crashed compaction
+    # clear a prior crashed compaction (own prefix "c"); live streaming
+    # appends' in-flight dirs stay shielded by their markers
+    _gc_orphan_batches(root, table, man, own_prefixes=("c",))
 
     n = man["n_partitions"]
     key_col = man["key_col"]
@@ -523,6 +590,7 @@ def rewrite_files(
         # task, so each pid directory holds exactly one compacted file
         .repartition(n, F.col("__pid"))
     )
+    _mark_inflight(root, table, tag)
     staged.write.mode("append").partitionBy("__batch", "__pid").parquet(
         _data_dir(root, table)
     )
@@ -531,7 +599,23 @@ def rewrite_files(
             f"injected failure after compacted write of {tag!r}, before "
             "manifest swap (compaction crash-window test)"
         )
+    if on_before_swap is not None:
+        on_before_swap()  # test hook: a concurrent commit in the CAS window
     stats = _batch_stats(df, key_col, f"{_data_dir(root, table)}/__batch={tag}")
+    # row conservation: compaction must re-commit EXACTLY the base
+    # manifest's rows.  The stats come from reading back the compacted
+    # files, so any loss — a concurrent GC deleting the in-flight dir, a
+    # partial write, a partitioning bug — surfaces here as a loud abort
+    # instead of a committed manifest that silently shrank the table.
+    base_rows = sum(rec["row_count"] for rec in man["partitions"])
+    compacted_rows = sum(r["row_count"] for r in stats)
+    if compacted_rows != base_rows:
+        _clear_inflight(root, table, tag)
+        raise RuntimeError(
+            f"compaction of {table!r} read back {compacted_rows} rows but "
+            f"the base manifest (v{man['version']}) committed {base_rows}; "
+            "aborting without commit (row-conservation guard)"
+        )
     by_pid = {int(r["__pid"]): r for r in stats}
     now = time.time()
     base_pid = man["version"] * n if _writer_kind(man) == "append" else 0
@@ -569,7 +653,10 @@ def rewrite_files(
     new_man["version"] = man["version"] + 1
     new_man["partitions"] = recs
     new_man["retired_batches"] = retired
-    _swap_manifest(root, table, new_man)
+    try:
+        _swap_manifest(root, table, new_man, expected_version=man["version"])
+    finally:
+        _clear_inflight(root, table, tag)
     return new_man
 
 
@@ -622,20 +709,84 @@ def _live_batches(root: str, table: str, man: dict[str, Any]) -> set[str]:
     return live
 
 
-def _gc_orphan_batches(root: str, table: str, man: dict[str, Any]) -> None:
+#: how long an in-flight marker shields an uncommitted batch dir from other
+#: writers' GC.  A writer killed mid-write leaves a stale marker; after the
+#: TTL the orphan is reclaimable by anyone (Iceberg's remove_orphan_files
+#: has the same age-threshold design for the same reason).  A job that
+#: legitimately outlives the TTL loses only its own uncommitted attempt —
+#: and loses LOUDLY (the CAS/row-conservation guards), never silently.
+GC_INFLIGHT_TTL_S = 6 * 3600.0
+
+
+def _inflight_dir(root: str, table: str) -> str:
+    return os.path.join(_meta_dir(root, table), "inflight")
+
+
+def _mark_inflight(root: str, table: str, tag: str) -> None:
+    """Declare ``tag``'s batch directory as being written by a live job.
+    GC (``_gc_orphan_batches``) skips marked orphans until the marker
+    expires or the owning writer family reclaims it — without this, a
+    CONCURRENT writer's start-of-run GC could delete another writer's
+    data files in the window between its data write and its manifest swap
+    (e.g. a streaming micro-batch's dir vanishing under a running
+    compaction, or vice versa), silently dropping the committed rows."""
+    d = _inflight_dir(root, table)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, tag), "w") as f:
+        f.write(str(time.time()))
+
+
+def _clear_inflight(root: str, table: str, tag: str) -> None:
+    try:
+        os.remove(os.path.join(_inflight_dir(root, table), tag))
+    except FileNotFoundError:
+        pass
+
+
+def _gc_orphan_batches(
+    root: str,
+    table: str,
+    man: dict[str, Any],
+    *,
+    own_prefixes: tuple[str, ...] = (),
+) -> None:
     """Remove ``__batch=...`` directories no committed manifest references —
     the leftovers of a write that was killed before its manifest swap.
-    Single-writer protocol (documented); readers never see these dirs
-    either way, GC just reclaims the space."""
+    Readers never see these dirs either way, GC just reclaims the space.
+
+    Concurrent-writer safety: an orphan whose tag carries a LIVE in-flight
+    marker belongs to a job that may still be between its data write and
+    its manifest swap — deleting it would lose that job's rows.  Such dirs
+    are skipped unless (a) the tag matches one of the caller's
+    ``own_prefixes`` (a retry reclaiming its own writer family's crashed
+    attempt — append retries reuse the tag, batch/compaction retries share
+    the ``b``/``c`` prefix; two concurrent same-family writers are already
+    serialized by the commit CAS, so reclaiming a same-family dir can only
+    strand a job that would lose the CAS anyway — loudly, not silently) or
+    (b) the marker is older than ``GC_INFLIGHT_TTL_S`` (a long-dead
+    writer)."""
     import shutil
 
     dd = _data_dir(root, table)
     if not os.path.isdir(dd):
         return
     live = _live_batches(root, table, man)
+    now = time.time()
     for name in os.listdir(dd):
-        if name.startswith("__batch=") and name.split("=", 1)[1] not in live:
-            shutil.rmtree(os.path.join(dd, name), ignore_errors=True)
+        if not name.startswith("__batch="):
+            continue
+        tag = name.split("=", 1)[1]
+        if tag in live:
+            continue
+        marker = os.path.join(_inflight_dir(root, table), tag)
+        if not any(tag.startswith(p) for p in own_prefixes):
+            try:
+                if now - os.path.getmtime(marker) < GC_INFLIGHT_TTL_S:
+                    continue  # a live concurrent writer's in-flight batch
+            except FileNotFoundError:
+                pass  # unmarked orphan — pre-marker era or already cleared
+        shutil.rmtree(os.path.join(dd, name), ignore_errors=True)
+        _clear_inflight(root, table, tag)
 
 
 def snapshots(root: str, table: str) -> list[int]:

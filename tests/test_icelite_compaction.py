@@ -180,3 +180,139 @@ def test_rewrite_range_partitioned_reuses_bounds(spark, workdir):
     old = {r["pid"]: r for r in man0["partitions"]}
     for rec in man1["partitions"]:
         assert rec["checksum"] == old[rec["pid"]]["checksum"]
+
+
+def test_swap_manifest_cas_rejects_stale_base_version(workdir):
+    """Commit CAS at the primitive level: a manifest computed from a base
+    version the table has moved past must be rejected."""
+    man1 = {"version": 1, "partitions": []}
+    ice._swap_manifest(workdir, "t", man1, expected_version=None)
+    assert ice._version_pointer(workdir, "t") == 1
+    with pytest.raises(ice.ConcurrentCommitError, match="now at 1"):
+        ice._swap_manifest(
+            workdir, "t", {"version": 2, "partitions": []}, expected_version=None
+        )
+    with pytest.raises(ice.ConcurrentCommitError, match="based on version 0"):
+        ice._swap_manifest(
+            workdir, "t", {"version": 2, "partitions": []}, expected_version=0
+        )
+    ice._swap_manifest(
+        workdir, "t", {"version": 2, "partitions": []}, expected_version=1
+    )
+    assert ice._version_pointer(workdir, "t") == 2
+
+
+def test_concurrent_append_during_rewrite_cas_loses_nothing(spark, workdir):
+    """The lost-update window (r5 self-found; same contract class as the
+    r4 no-loss advice): a streaming micro-batch committing DURING a
+    (minutes-long at scale) compaction job must survive.  Before the CAS,
+    rewrite_files built version+1 from its base manifest and swapped
+    unconditionally — overwriting the append's snapshot and silently
+    dropping its rows from every read.  Now the compaction loses LOUDLY,
+    the append survives, and a retry compacts all three batches."""
+    df = _src(spark)
+    a = df.filter(F.col("doc_id") % 3 == 0)
+    b = df.filter(F.col("doc_id") % 3 == 1)
+    c = df.filter(F.col("doc_id") % 3 == 2)
+    for tag, part in (("sb0", a), ("sb1", b)):
+        ice.append_batch(
+            part, workdir, "t", stage="ing", key_col="key",
+            n_partitions=4, batch_tag=tag,
+        )
+    before = _rows(ice.read_table(spark, workdir, "t"))
+
+    def concurrent_append():
+        ice.append_batch(
+            c, workdir, "t", stage="ing", key_col="key",
+            n_partitions=4, batch_tag="sb2",
+        )
+
+    with pytest.raises(ice.ConcurrentCommitError, match="concurrent writer"):
+        ice.rewrite_files(spark, workdir, "t", on_before_swap=concurrent_append)
+    # the concurrently-committed micro-batch survived, nothing was lost
+    got = _rows(ice.read_table(spark, workdir, "t"))
+    assert set(before) <= set(got)
+    assert len(got) == df.count()
+    # the compaction retry works over the fresh manifest: GCs the loser's
+    # orphan dir, keeps every row, retires all three batches
+    man = ice.rewrite_files(spark, workdir, "t")
+    assert _rows(ice.read_table(spark, workdir, "t")) == got
+    assert {"sb0", "sb1", "sb2"} <= set(man["retired_batches"])
+    assert sum(r["row_count"] for r in man["partitions"]) == df.count()
+    # replay of the mid-compaction batch stays a no-op after its retirement
+    man2 = ice.append_batch(
+        c, workdir, "t", stage="ing", key_col="key",
+        n_partitions=4, batch_tag="sb2",
+    )
+    assert man2["version"] == man["version"]
+    assert len(_rows(ice.read_table(spark, workdir, "t"))) == df.count()
+
+
+def test_gc_shields_inflight_foreign_batch(spark, workdir):
+    """A writer's start-of-run orphan GC must NOT delete another writer's
+    in-flight (marked, uncommitted) batch directory — only its own writer
+    family's crashed attempts, or markers past the TTL."""
+    df = _src(spark)
+    a = df.filter(F.col("doc_id") % 2 == 0)
+    b = df.filter(F.col("doc_id") % 2 == 1)
+    ice.append_batch(
+        a, workdir, "t", stage="ing", key_col="key", n_partitions=4,
+        batch_tag="sb0",
+    )
+    # an append killed between data write and swap: dir + live marker stay
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ice.append_batch(
+            b, workdir, "t", stage="ing", key_col="key", n_partitions=4,
+            batch_tag="sb1", fail_before_swap=True,
+        )
+    inflight_dir = os.path.join(workdir, "t", "data", "__batch=sb1")
+    assert os.path.isdir(inflight_dir)
+    # a compaction (different writer family) runs: sb1's dir must survive
+    ice.rewrite_files(spark, workdir, "t")
+    assert os.path.isdir(inflight_dir)
+    # the append's own retry reclaims its crashed attempt and lands ONE copy
+    ice.append_batch(
+        b, workdir, "t", stage="ing", key_col="key", n_partitions=4,
+        batch_tag="sb1",
+    )
+    assert len(_rows(ice.read_table(spark, workdir, "t"))) == df.count()
+    # an expired marker no longer shields: TTL=0 → any writer's GC reclaims
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ice.append_batch(
+            b, workdir, "t", stage="ing", key_col="key", n_partitions=4,
+            batch_tag="sb9", fail_before_swap=True,
+        )
+    stale = os.path.join(workdir, "t", "data", "__batch=sb9")
+    assert os.path.isdir(stale)
+    old_ttl = ice.GC_INFLIGHT_TTL_S
+    try:
+        ice.GC_INFLIGHT_TTL_S = 0.0
+        ice._gc_orphan_batches(workdir, "t", ice.current_manifest(workdir, "t"))
+    finally:
+        ice.GC_INFLIGHT_TTL_S = old_ttl
+    assert not os.path.isdir(stale)
+
+
+def test_rewrite_row_conservation_guard(spark, workdir):
+    """If the compacted files vanish (or shrink) between the write and the
+    commit — the GC-race / partial-write class — the rewrite must abort
+    loudly instead of committing a manifest that silently emptied the
+    table."""
+    df = _src(spark)
+    ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=4,
+        batch_size=2,
+    )
+    before = _rows(ice.read_table(spark, workdir, "t"))
+
+    def sabotage():
+        for d in glob.glob(f"{workdir}/t/data/__batch=c*"):
+            shutil.rmtree(d)
+
+    with pytest.raises(RuntimeError, match="row-conservation"):
+        ice.rewrite_files(spark, workdir, "t", on_before_swap=sabotage)
+    # nothing committed: table unchanged, version unchanged, retry works
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+    man = ice.rewrite_files(spark, workdir, "t")
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+    assert sum(r["row_count"] for r in man["partitions"]) == len(before)
