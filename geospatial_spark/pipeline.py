@@ -106,3 +106,153 @@ def run(
         batch_size=batch_size,
     )
     return manifests
+
+
+# ---------------------------------------------------------------------------
+# corpus-curation pipeline (the web-corpus twin of run())
+# ---------------------------------------------------------------------------
+
+
+def run_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    *,
+    n_partitions: int = 16,
+    batch_size: int = 4,
+    quality_floor_ppm: int = 400_000,
+    jaccard_ppm: int = 850_000,
+    domain_cap_n: int | None = None,
+) -> dict:
+    """End-to-end training-corpus curation, materialized through icelite
+    with per-partition lineage (resumable like ``run``):
+
+      pages → exact-dup keeper election (min page_id per sha256(text))
+            → quality gate (same exact-int ppm score the driver-checked
+              ``corpus_curate`` query pins)
+            → near-dup keeper election (MinHash-LSH star edges, exact
+              Jaccard verify at ``jaccard_ppm``, connected components —
+              the scale-safe star formulation of ``dedup_clusters_star``)
+            → optional per-registrable-domain cap (``domains.domain_cap``,
+              highest-quality docs kept; off by default — the synthetic
+              pages table is single-host, so a cap there is a corpus cap)
+            → deterministic content-stable train/val/test split
+            → ``corpus`` table (kept docs) + ``audit`` table (one row per
+              dropped doc with its drop reason), both icelite-committed.
+
+    Every stage is JVM-side except the shingle kernels the dedup family
+    already owns; drop reasons are mutually exclusive and evaluated in
+    the order above (a doc is audited under the FIRST gate it fails)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from .functions import caching
+    from .functions import texthash as TH
+    from .operators import dedup as dd
+    from .operators import domains as dm
+    from .operators import textstats as ts
+
+    pg = src.pages(spark, sf_dir)
+    t = TH.tokens(F.col("text"))
+    n_tok = F.size(t)
+    uniq = F.size(F.array_distinct(t))
+    safe = F.greatest(n_tok, F.lit(1))
+    quality = F.floor(
+        F.lit(1e6)
+        * (
+            F.lit(0.5) * uniq / safe
+            + F.lit(0.5) * F.least(n_tok, F.lit(200)) / F.lit(200.0)
+        )
+    ).cast("bigint")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    scored = pg.select(
+        "page_id",
+        "url",
+        "lang",
+        "text",
+        quality.alias("quality_ppm"),
+        (F.col("page_id") == F.min("page_id").over(w)).alias("__exact_keeper"),
+    )
+
+    exact_dropped = scored.filter(~F.col("__exact_keeper")).select(
+        "page_id", "url", F.lit("dup_exact").alias("status")
+    )
+    lowq_dropped = scored.filter(
+        F.col("__exact_keeper") & (F.col("quality_ppm") < quality_floor_ppm)
+    ).select("page_id", "url", F.lit("lowq").alias("status"))
+    surv = scored.filter(
+        F.col("__exact_keeper") & (F.col("quality_ppm") >= quality_floor_ppm)
+    )
+
+    # near-dup election among survivors: star candidates → exact verify →
+    # connected components; keeper = min page_id per component
+    sets = caching.track(
+        dd.shingle_sets(surv, id_col="page_id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    sigs = dd.minhash_signatures(sets.select("id", F.explode("hs").alias("h")))
+    edges = dd.jaccard_verify_sets(dd.lsh_star_edges(sigs), sets, jaccard_ppm)
+    labels = dd.dedup_clusters(edges)  # localCheckpointed — independent of sets
+    near_ids = labels.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("page_id")
+    )
+    sets.unpersist()
+    near_dropped = surv.join(near_ids, "page_id").select(
+        "page_id", "url", F.lit("dup_near").alias("status")
+    )
+    surv = surv.join(near_ids, "page_id", "left_anti")
+
+    if domain_cap_n is not None:
+        kept = dm.domain_cap(
+            surv,
+            domain_cap_n,
+            id_col="page_id",
+            order_by=[F.col("quality_ppm").desc()],
+        ).drop("dom_rank")
+        cap_dropped = surv.join(
+            kept.select("page_id"), "page_id", "left_anti"
+        ).select("page_id", "url", F.lit("over_domain_cap").alias("status"))
+    else:
+        kept = surv.withColumn(
+            "domain", dm.registrable_domain_col(dm.url_host_col(F.col("url")))
+        )
+        cap_dropped = spark.createDataFrame(
+            [], "page_id long, url string, status string"
+        )
+
+    corpus = ts.split_assign(kept, id_col="url").select(
+        "page_id",
+        "url",
+        "lang",
+        "domain",
+        "quality_ppm",
+        F.length("text").cast("bigint").alias("n_chars"),
+        "split",
+    )
+    audit = (
+        exact_dropped.unionByName(lowq_dropped)
+        .unionByName(near_dropped)
+        .unionByName(cap_dropped)
+    )
+
+    manifests = {}
+    manifests["corpus"] = ice.write_partitioned(
+        corpus,
+        out_root,
+        "corpus",
+        stage="corpus_curate",
+        key_col="page_id",
+        n_partitions=n_partitions,
+        batch_size=batch_size,
+    )
+    manifests["audit"] = ice.write_partitioned(
+        audit,
+        out_root,
+        "audit",
+        stage="corpus_audit",
+        key_col="page_id",
+        n_partitions=max(2, n_partitions // 4),
+        batch_size=batch_size,
+    )
+    return manifests
