@@ -182,3 +182,43 @@ def test_domain_cap_plan_two_keyed_exchanges_no_python(spark):
         if "hashpartitioning" in m.group(1)
     ]
     assert len(keyed) == 2, plan
+
+
+def test_host_domain_random_sweep_matches_local(spark):
+    """Randomized cross-check of the Column expressions against the local
+    reference parser over 400 seeded urls mixing schemes, userinfo, ports,
+    IPs, query strings, label counts and ccTLD suffixes."""
+    import random
+
+    rng = random.Random(11)
+    tlds = ["com", "org", "io", "uk", "jp", "de", "au"]
+    slds = ["co", "com", "ac", "or", "shop", "web"]
+    urls = []
+    for i in range(400):
+        scheme = rng.choice(["http", "https", "ftp", "s3+http"])
+        nlab = rng.randint(1, 5)
+        labels = [f"l{rng.randint(0, 9)}" for _ in range(nlab - 1)]
+        if rng.random() < 0.3 and nlab >= 2:
+            labels = labels[:-1] + [rng.choice(slds)]
+        host = ".".join(labels + [rng.choice(tlds)]) if nlab > 1 else "host"
+        if rng.random() < 0.1:
+            host = f"10.{rng.randint(0,255)}.0.{rng.randint(0,255)}"
+        if rng.random() < 0.2:
+            host = host.upper()
+        user = f"u{rng.randint(0,9)}:pw@" if rng.random() < 0.15 else ""
+        port = f":{rng.randint(80, 9999)}" if rng.random() < 0.2 else ""
+        path = rng.choice(["", "/", "/a/b?x=1&y=2", "/p#frag"])
+        urls.append((i, f"{scheme}://{user}{host}{port}{path}"))
+    df = spark.createDataFrame(urls, "i long, url string")
+    got = {
+        r["i"]: (r["h"], r["d"])
+        for r in df.select(
+            "i",
+            dm.url_host_col(F.col("url")).alias("h"),
+            dm.registrable_domain_col(dm.url_host_col(F.col("url"))).alias("d"),
+        ).collect()
+    }
+    for i, url in urls:
+        m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", url)
+        host = (m.group(1) if m else "").lower()
+        assert got[i] == (host, _py_domain(url)), url
