@@ -275,6 +275,14 @@ def write_partitioned(
                 f"resume of table {table!r} with key_col={key_col!r} but "
                 f"manifest committed key_col={committed_key!r}"
             )
+        if df.schema.simpleString() != man["schema"]:
+            # a resume with a drifted schema would complete the remaining
+            # partitions under a DIFFERENT schema than the committed ones
+            raise ValueError(
+                f"resume of table {table!r} with schema "
+                f"{df.schema.simpleString()} but manifest committed "
+                f"{man['schema']}; icelite tables are schema-frozen"
+            )
         committed_bounds = man.get("range_bounds")
         if committed_bounds is not None:
             # committed bounds win over recomputed/omitted bounds (a rerun
@@ -430,6 +438,17 @@ def append_batch(
             raise ValueError(
                 f"append to table {table!r} with key_col={key_col!r} but "
                 f"manifest committed key_col={man.get('key_col')!r}"
+            )
+        if df.schema.simpleString() != man["schema"]:
+            # schema drift guard: mixed-schema batch dirs under one table
+            # make the parquet scan's inferred schema depend on which file
+            # footer Spark samples — columns silently null out or vanish.
+            # This catalog does NOT do Iceberg-style schema evolution;
+            # fail loudly instead (documented divergence).
+            raise ValueError(
+                f"append to table {table!r} with schema "
+                f"{df.schema.simpleString()} but manifest committed "
+                f"{man['schema']}; icelite tables are schema-frozen"
             )
         if n_partitions != man["n_partitions"]:
             # the per-batch partition_id namespace is version*n_partitions

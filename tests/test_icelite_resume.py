@@ -220,3 +220,50 @@ def test_read_range_prunes_partitions(spark, workdir):
     empty = ice.read_range(spark, workdir, "rng", 10_000_000, 20_000_000)
     assert empty.count() == 0
     assert empty.columns == pruned.columns
+
+
+def test_schema_drift_refused(spark, workdir):
+    """icelite tables are schema-frozen (documented divergence from
+    Iceberg's id-based evolution): an append or resume whose DataFrame
+    schema differs from the committed one would land mixed-schema parquet
+    under one table — the scan's inferred schema would then depend on
+    which footer Spark samples.  Both writers must refuse loudly."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    df = _src(spark)
+    ice.append_batch(
+        df, workdir, "ta", stage="ing", key_col="key", n_partitions=4,
+        batch_tag="sb0",
+    )
+    drifted = df.withColumn("extra", F.lit(1))
+    with _pt.raises(ValueError, match="schema-frozen"):
+        ice.append_batch(
+            drifted, workdir, "ta", stage="ing", key_col="key",
+            n_partitions=4, batch_tag="sb1",
+        )
+    # replay of a committed tag stays a no-op even with a drifted frame
+    # (the replay check runs before the schema guard on purpose: replays
+    # never write, so they can never corrupt)
+    man = ice.append_batch(
+        drifted, workdir, "ta", stage="ing", key_col="key",
+        n_partitions=4, batch_tag="sb0",
+    )
+    assert man["version"] == 1
+
+    with _pt.raises(RuntimeError, match="injected failure"):
+        ice.write_partitioned(
+            df, workdir, "tb", stage="s1", key_col="key", n_partitions=4,
+            batch_size=2, fail_after_batches=1,
+        )
+    with _pt.raises(ValueError, match="schema-frozen"):
+        ice.write_partitioned(
+            drifted, workdir, "tb", stage="s1", key_col="key",
+            n_partitions=4, batch_size=2,
+        )
+    # the unchanged frame still resumes to completion
+    man = ice.write_partitioned(
+        df, workdir, "tb", stage="s1", key_col="key", n_partitions=4,
+        batch_size=2,
+    )
+    assert len(man["partitions"]) == 4
