@@ -182,6 +182,85 @@ def run_dedup_mat(spark, args, src) -> None:
     )
 
 
+def run_domains_mat(spark, args, src) -> None:
+    """Per-domain cap scaling workload (late-r5 operator): the two-phase
+    capped keeper election over the pre-materialized pages table with a
+    synthetic multi-host url (JVM concat from page_id — deterministic,
+    identical bytes per config): half the corpus in ONE mega-domain (the
+    exact skew the two-phase design exists for) and the rest across 997
+    registrable domains.  Window shape: two keyed exchanges, each followed
+    by a per-partition sort — sort/shuffle-bandwidth-bound (compare with
+    BENCH/BASELINE.md §3's bandwidth controls, not the 0.91 compute
+    ceiling).  n_salts is FIXED across configs so both sort identical
+    shard layouts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.operators import domains as dm
+
+    tag = args.sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    mat_path = f"/tmp/scaling_pages_{tag}_r{args.replication}.parquet"
+    if not os.path.isdir(mat_path):
+        src.pages(spark, args.sf_dir, replication=args.replication).repartition(
+            256
+        ).write.mode("overwrite").parquet(mat_path)
+
+    pages = spark.read.parquet(mat_path).withColumn(
+        "url2",
+        F.concat(
+            F.lit("https://www."),
+            # the REGISTRABLE label must vary (subdomains of one apex all
+            # collapse to the same registrable domain and the cap would
+            # elect 50 keepers total — measured; the point is skew WITH
+            # a long tail)
+            F.when(F.col("page_id") % 2 == 0, F.lit("mega")).otherwise(
+                F.concat(F.lit("dom"), (F.col("page_id") % 997).cast("string"))
+            ),
+            F.lit(".com/p/"),
+            F.col("page_id").cast("string"),
+        ),
+    )
+
+    def job():
+        kept = dm.domain_cap(
+            pages, 50, url_col="url2", id_col="page_id", n_salts=64
+        )
+        # consume the rank column so the full election (both windows) is
+        # in the counted plan, and the sum doubles as an identity checksum
+        row = kept.agg(
+            F.count("*").alias("n"), F.sum("dom_rank").alias("rk")
+        ).collect()[0]
+        return int(row["n"]), int(row["rk"])
+
+    dm.domain_cap(
+        pages.filter(F.col("page_id") % 16 == 0), 50,
+        url_col="url2", id_col="page_id", n_salts=64,
+    ).count()  # warmup
+
+    n_pages = pages.count()
+    best, ident = 1e18, None
+    for _ in range(3):
+        t0 = time.time()
+        ident = job()
+        best = min(best, time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "workload": "domains-mat",
+                "cpus": args.cpus,
+                "replication": args.replication,
+                "pages": n_pages,
+                "kept": ident[0],
+                "rank_checksum": ident[1],
+                "sec": round(best, 2),
+                "domains_pipeline_pages_per_sec": round(n_pages / best, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
 def run_overlay_mat(spark, args) -> None:
     """Overlay scaling workload (round-5 operator): pairwise five-way
     boolean overlay of the holed-region table against a replicated star
@@ -272,7 +351,7 @@ def main() -> None:
     ap.add_argument("--replication", type=int, default=512)
     ap.add_argument(
         "--workload",
-        choices=("pipeline", "pipeline-mat", "cellmath", "dedup-mat", "overlay-mat"),
+        choices=("pipeline", "pipeline-mat", "cellmath", "dedup-mat", "overlay-mat", "domains-mat"),
         default="pipeline",
         help="pipeline = flagship extract/join/tile with the synthetic page "
         "generator inside the timed lineage (memory-bandwidth-bound on this "
@@ -322,6 +401,11 @@ def main() -> None:
 
     if args.workload == "overlay-mat":
         run_overlay_mat(spark, args)
+        spark.stop()
+        return
+
+    if args.workload == "domains-mat":
+        run_domains_mat(spark, args, src)
         spark.stop()
         return
 
