@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from geospatial_spark.functions import udfs
 from geospatial_spark.operators import buffer as buf_ops
 from geospatial_spark.operators import dedup as dd
+from geospatial_spark.operators import domains as dmn
 from geospatial_spark.operators import sessions as sess_ops
 from geospatial_spark.operators import knn as knn_ops
 from geospatial_spark.operators import media as med
@@ -918,6 +919,82 @@ def _q_dedup_clusters_star(spark, sf_dir):
     return labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
 
 
+def _q_dedup_clusters_variants(spark, sf_dir):
+    """Both connected-components formulations in ONE registry entry
+    (round-5 merge freeing a slot for ``domain_cap``): the SimHash
+    star-edge clustering and the MinHash star-edge + exact-Jaccard-verify
+    clustering, tagged by ``variant`` and unioned — each side keeps its
+    exact recursive-CTE closure oracle (r3)."""
+    sh = _q_dedup_clusters(spark, sf_dir).withColumn(
+        "variant", F.lit("simhash_star")
+    )
+    mh = _q_dedup_clusters_star(spark, sf_dir).withColumn(
+        "variant", F.lit("minhash_star")
+    )
+    return sh.unionByName(mh)
+
+
+#: domain_cap keeper budget for the registry entry — small enough that all
+#: three url families get capped at sf0.01 (mega + co.uk + every .org tail
+#: domain), so the oracle exercises the election, not just the pass-through
+DOMAIN_CAP = 40
+
+
+def _q_domain_cap(spark, sf_dir):
+    """Per-registrable-domain document cap over the documents table (the
+    C4/Gopher-style single-site over-representation guard; no reference
+    analogue — web-corpus half).  The url column is derived
+    deterministically from doc_id (three families: one mega-domain behind
+    rotating crawl hosts — the skew the two-phase salt election exists
+    for; a ccTLD 3-label registrable suffix behind userinfo+port — the
+    host-extraction edge; a 13-domain .org tail).  Keeper order =
+    (n_chars DESC, doc_id): the parquet column, engine-independent.  The
+    Spark side elects via the two-phase salt-sharded row_number
+    (operators/domains.py — a mega-domain never sits in one task); the
+    oracle is the single global window — exactness of the two-phase
+    election is what the hash match proves."""
+    i = F.col("doc_id")
+    url = (
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit("https://crawl"),
+                (i % 7).cast("string"),
+                F.lit(".mega-site.com/p/"),
+                i.cast("string"),
+            ),
+        )
+        .when(
+            i % 3 == 1,
+            F.concat(
+                F.lit("http://u:pw@d"),
+                (i % 23).cast("string"),
+                F.lit(".shop.example.co.uk:8080/item?id="),
+                i.cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://w"),
+                (i % 11).cast("string"),
+                F.lit(".site"),
+                (i % 13).cast("string"),
+                F.lit(".org/x"),
+            )
+        )
+    )
+    docs = _docs(spark, sf_dir).withColumn("url", url)
+    kept = dmn.domain_cap(
+        docs,
+        DOMAIN_CAP,
+        order_by=[F.col("n_chars").desc()],
+        id_col="doc_id",
+    )
+    return kept.select(
+        "doc_id", "domain", F.col("dom_rank").cast("bigint").alias("dom_rank")
+    )
+
+
 def _q_corpus_curate(spark, sf_dir):
     """End-to-end curation: exact-dup keeper election (window min over
     sha256(text)) + quality gate + deterministic hash train/val/test
@@ -1049,8 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "corpus_curate": _q_corpus_curate,
         "media_features": _q_media_features,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_star": _q_dedup_clusters_star,
+        "dedup_clusters_variants": _q_dedup_clusters_variants,
+        "domain_cap": _q_domain_cap,
     }
 
 
@@ -1473,6 +1550,6 @@ s AS (SELECT lang, split, CASE WHEN url <> keeper THEN 'dup'
 SELECT lang, status, split, count(*) AS n FROM s GROUP BY 1, 2, 3"""
         ),
         "media_features": otxt.media_frame_features_sql(),
-        "dedup_clusters": otxt.dedup_clusters_sql(),
-        "dedup_clusters_star": otxt.dedup_clusters_star_sql(),
+        "dedup_clusters_variants": otxt.dedup_clusters_variants_sql(),
+        "domain_cap": otxt.domain_cap_sql(DOMAIN_CAP),
     }

@@ -521,6 +521,74 @@ edges AS (SELECT i.id_a, i.id_b FROM inter i
     return _with_pages_recursive(_closure_sql(edges))
 
 
+def dedup_clusters_variants_sql(
+    max_hamming: int = 3, threshold_ppm: int = 700_000
+) -> str:
+    """Round-5 registry merge: both clustering formulations (SimHash star
+    edges; MinHash star edges + exact-Jaccard verify) tagged by ``variant``
+    and unioned — each side keeps its full recursive-CTE closure oracle
+    (the WITH RECURSIVE lists live inside derived-table subqueries, which
+    DuckDB scopes independently)."""
+    return (
+        f"SELECT 'simhash_star' AS variant, * FROM ({dedup_clusters_sql(max_hamming)})\n"
+        "UNION ALL\n"
+        f"SELECT 'minhash_star' AS variant, * FROM ({dedup_clusters_star_sql(threshold_ppm)})"
+    )
+
+
+def url_from_doc_sql() -> str:
+    """Deterministic per-doc url derivation — the DuckDB twin of the JVM
+    concat in __spark_entry__._q_domain_cap.  Three families: a mega-domain
+    behind rotating crawl hosts (skew), a ccTLD 3-label registrable suffix
+    behind userinfo+port (host-extraction edge), and a 13-domain .org tail."""
+    return (
+        "CASE WHEN doc_id % 3 = 0 THEN 'https://crawl' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.mega-site.com/p/' || CAST(doc_id AS VARCHAR)"
+        " WHEN doc_id % 3 = 1 THEN 'http://u:pw@d' || CAST(doc_id % 23 AS VARCHAR)"
+        " || '.shop.example.co.uk:8080/item?id=' || CAST(doc_id AS VARCHAR)"
+        " ELSE 'https://w' || CAST(doc_id % 11 AS VARCHAR)"
+        " || '.site' || CAST(doc_id % 13 AS VARCHAR) || '.org/x' END"
+    )
+
+
+def domain_cap_sql(cap: int = 40) -> str:
+    """Exact per-registrable-domain keeper cap over the documents table
+    (mirrors operators.domains.domain_cap with order = n_chars DESC, doc_id
+    — n_chars is used instead of length(text) so the order key is engine-
+    independent bytes): regexp host, PSL-heuristic registrable domain,
+    row_number election.  The oracle's single global window and the Spark
+    two-phase salt-shard election must pick identical keepers (the two-phase
+    exactness lemma, operators/domains.py docstring)."""
+    from ..operators.domains import _CC_SLD, _HOST_RE
+
+    sld = ", ".join(f"'{s}'" for s in _CC_SLD)
+    return f"""WITH u AS (
+  SELECT doc_id, n_chars, {url_from_doc_sql()} AS url FROM documents
+), h AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host
+  FROM u
+), d AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN regexp_matches(host, '^[0-9.]+$')
+              OR len(string_split(host, '.')) <= 2 THEN host
+         ELSE array_to_string(list_slice(
+           string_split(host, '.'),
+           len(string_split(host, '.')) + 1 - (CASE WHEN
+             length(string_split(host, '.')[-1]) = 2
+             AND string_split(host, '.')[-2] IN ({sld})
+             THEN 3 ELSE 2 END),
+           len(string_split(host, '.'))), '.')
+    END AS domain
+  FROM h
+)
+SELECT doc_id, domain, dom_rank FROM (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id)
+           AS dom_rank
+  FROM d) WHERE dom_rank <= {cap}"""
+
+
 def media_frame_features_sql(frame_stride: int = 64, every: int = 16) -> str:
     """Features + frame-sampling plan in one relation (mirrors
     media.frame_features): video rows explode per sampled frame index,
