@@ -11,7 +11,8 @@ prefix:
    (plan-pinned in tests/test_sqlreg.py).  Each body is the exact
    expression its Column-builder twin in ``functions/udfs.py`` emits
    (haversine_col, tile_x_col/tile_y_col, utm_zone_col/utm_epsg_col,
-   color_idx_col/color_hex_from_idx, fixed6_col, geohash_int_col), so
+   color_idx_col/color_hex_from_idx, fixed6_col, geohash_int_col, and
+   operators/domains.py's url_host_col/registrable_domain_col), so
    SQL results are bit-identical to the DataFrame API and to the numpy
    kernels those builders are property-tested against — including the
    lat=±90 / lon=±180 clamp edges.
@@ -162,6 +163,35 @@ def _sql_udf_defs() -> list[tuple[str, str]]:
             f"(lat DOUBLE, lon DOUBLE, p INT) RETURNS BIGINT RETURN {gh_int}",
         ),
     ]
+
+    # url_host_col / registrable_domain_col twins (operators/domains.py —
+    # the web-corpus curation vocabulary): the host regexp contains no
+    # quotes or backslashes, so it embeds verbatim; split's '\\.' is the
+    # literal-dot regex after SQL string unescaping
+    from ..operators.domains import _CC_SLD, _HOST_RE
+
+    slds = ", ".join(f"'{s}'" for s in _CC_SLD)
+    labels = "split(host, '\\\\.')"
+    take = (
+        f"IF(length(element_at({labels}, -1)) = 2 "
+        f"AND element_at({labels}, -2) IN ({slds}) "
+        f"AND size({labels}) >= 3, 3, 2)"
+    )
+    reg_dom = (
+        f"CASE WHEN host RLIKE '^[0-9.]+$' OR size({labels}) <= 2 THEN host "
+        f"ELSE array_join(slice({labels}, size({labels}) - {take} + 1, {take}), '.') END"
+    )
+    defs += [
+        (
+            "gs_url_host",
+            "(url STRING) RETURNS STRING RETURN "
+            f"lower(regexp_extract(url, '{_HOST_RE}', 1))",
+        ),
+        (
+            "gs_registrable_domain",
+            f"(host STRING) RETURNS STRING RETURN {reg_dom}",
+        ),
+    ]
     return defs
 
 
@@ -228,6 +258,8 @@ SQL_INLINED = (
     "gs_color_idx",
     "gs_color_hex",
     "gs_geohash_int",
+    "gs_url_host",
+    "gs_registrable_domain",
 )
 #: names registered as Arrow-batched pandas UDFs (kernel-backed)
 PANDAS_BACKED = (

@@ -152,6 +152,46 @@ def test_pandas_backed_mixed_scalar_args(sql_spark):
     assert all(r["v"] == 6 for r in tok)
 
 
+def test_url_host_registrable_domain_parity(sql_spark):
+    """gs_url_host / gs_registrable_domain vs their Column-builder twins
+    (operators/domains.py) over the goldens from tests/test_domains.py plus
+    synthetic hosts hitting every branch (IP literal, bare host, ccTLD
+    3-label suffix, deep subdomain chains, unparseable)."""
+    from geospatial_spark.operators import domains as dm
+
+    spark = sql_spark
+    urls = [
+        "https://Example.COM/path?q=1",
+        "http://user:pw@Sub.Shop.Example.co.uk:8080/x",
+        "https://a.b.example.com/",
+        "ftp://192.168.0.1/file",
+        "https://localhost/x",
+        "not a url",
+        "https://news.ycombinator.com",
+        "http://foo.ne.jp/x",
+        "https://www.gov.uk/vat",
+        "s3+http://u@a.b.c.d.e.org:99/k#f",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    df.createOrReplaceTempView("sqlreg_urls")
+    got = spark.sql(
+        """SELECT id, gs_url_host(url) AS h,
+                  gs_registrable_domain(gs_url_host(url)) AS d
+           FROM sqlreg_urls"""
+    )
+    want = df.select(
+        "id",
+        dm.url_host_col(F.col("url")).alias("h"),
+        dm.registrable_domain_col(dm.url_host_col(F.col("url"))).alias("d"),
+    )
+    g = {r["id"]: (r["h"], r["d"]) for r in got.collect()}
+    for r in want.collect():
+        assert g[r["id"]] == (r["h"], r["d"]), urls[r["id"]]
+
+
 def test_sql_inlined_family_has_zero_python_in_plan(sql_spark):
     """The whole SQL-UDF family in one query must compile to a plan with
     no Arrow/Python eval node — Catalyst inlined every body."""
@@ -162,7 +202,9 @@ def test_sql_inlined_family_has_zero_python_in_plan(sql_spark):
                   gs_utm_epsg(lat, lon) AS epsg,
                   gs_geohash_int(lat, lon, 6) AS code,
                   gs_fixed6(lat) AS f6,
-                  gs_color_hex(gs_color_idx(CAST(id AS STRING))) AS hex
+                  gs_color_hex(gs_color_idx(CAST(id AS STRING))) AS hex,
+                  gs_registrable_domain(gs_url_host(
+                    concat('https://h', id, '.shop.example.co.uk/'))) AS dom
            FROM sqlreg_pts WHERE gs_utm_zone(lon) > 10"""
     )
     buf = io.StringIO()
