@@ -184,6 +184,49 @@ def test_domain_cap_plan_two_keyed_exchanges_no_python(spark):
     assert len(keyed) == 2, plan
 
 
+def test_domain_cap_random_election_sweep(spark):
+    """Randomized exactness sweep of the two-phase election: seeded trials
+    drawing url family (mega-domain / ccTLD 3-label / org tail / IP / bare
+    host), TIE-HEAVY text lengths (the tie-break path), and a (cap,
+    n_salts) grid including n_salts=1 (single-phase degenerate), salts ≫
+    rows-per-domain, and caps larger than whole domains (no-drop edge) —
+    keeper SET and dom_rank VALUES must both match the local election."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(600):
+        fam = rng.randrange(5)
+        if fam == 0:
+            url = f"https://c{i % 3}.mega.example.com/{i}"
+        elif fam == 1:
+            url = f"http://u:p@d{i % 9}.shop.sites.co.uk:81/{i}"
+        elif fam == 2:
+            url = f"https://w.site{i % 7}.org/x"
+        elif fam == 3:
+            url = f"ftp://10.0.{i % 4}.1/f"
+        else:
+            url = "https://solo-host/x"
+        rows.append((i, url, "x" * rng.randrange(4)))  # lengths 0-3: ties
+    df = spark.createDataFrame(rows, "page_id long, url string, text string")
+    for cap, n_salts in ((1, 1), (2, 64), (3, 4), (7, 16), (500, 8)):
+        got = {
+            r["page_id"]: r["dom_rank"]
+            for r in dm.domain_cap(
+                df, cap, id_col="page_id", n_salts=n_salts
+            ).collect()
+        }
+        by_dom: dict[str, list] = {}
+        for i, url, text in rows:
+            by_dom.setdefault(_py_domain(url), []).append((i, len(text)))
+        want = {}
+        for members in by_dom.values():
+            members.sort(key=lambda t: (-t[1], t[0]))
+            for rank, (i, _) in enumerate(members[:cap], start=1):
+                want[i] = rank
+        assert got == want, (cap, n_salts)
+
+
 def test_host_domain_random_sweep_matches_local(spark):
     """Randomized cross-check of the Column expressions against the local
     reference parser over 400 seeded urls mixing schemes, userinfo, ports,
