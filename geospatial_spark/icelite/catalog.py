@@ -539,6 +539,7 @@ def rewrite_files(
     root: str,
     table: str,
     *,
+    sort_by_key: bool = True,
     fail_before_swap: bool = False,
     on_before_swap: Callable[[], None] | None = None,
 ) -> dict[str, Any]:
@@ -576,6 +577,16 @@ def rewrite_files(
         rows; the caller re-runs the compaction over the fresh manifest
         (``on_before_swap`` injects a concurrent commit for tests).
 
+    ``sort_by_key`` (default on) is the Iceberg *sort-order rewrite*
+    analogue: rows are sorted by ``key_col`` within each compacted file, so
+    every parquet row group carries tight min/max stats on the key and a
+    key-range scan skips row groups INSIDE a partition file — the second
+    pruning tier under the manifest's per-partition (key_min, key_max)
+    index.  Safe by construction: the lineage checksum is an
+    order-insensitive bit_xor, and no reader contract depends on row
+    order.  Off only for pathological keys where the sort would dominate
+    the rewrite.
+
     Scale note: the rewrite is one distributed read→repartition(__pid)→
     write job (every partition's rows land in one task → one file); only
     the per-partition stat rows reach the driver."""
@@ -609,6 +620,11 @@ def rewrite_files(
         # task, so each pid directory holds exactly one compacted file
         .repartition(n, F.col("__pid"))
     )
+    if sort_by_key:
+        # sort (pid, key) within each task: hash collisions can co-locate
+        # two pids in one task, and the leading __pid keeps each output
+        # file's rows contiguous AND key-sorted
+        staged = staged.sortWithinPartitions("__pid", key_col)
     _mark_inflight(root, table, tag)
     staged.write.mode("append").partitionBy("__batch", "__pid").parquet(
         _data_dir(root, table)

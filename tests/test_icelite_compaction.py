@@ -146,6 +146,46 @@ def test_rewrite_append_table_and_replay_noop_after_compaction(spark, workdir):
     assert man3["version"] + 1 == ice._version_pointer(workdir, "t")
 
 
+def test_rewrite_sorts_by_key_within_files(spark, workdir):
+    """The Iceberg sort-order-rewrite analogue: every compacted parquet
+    file is key-sorted, so its row groups carry tight disjoint min/max
+    stats on the key (the intra-partition pruning tier).  Checked at the
+    parquet-metadata level with pyarrow — row-group key ranges must be
+    monotone non-overlapping per file — and disabled via sort_by_key=False
+    (result identity must hold either way: bit_xor checksum is order-free)."""
+    import pyarrow.parquet as pq
+
+    df = _src(spark).repartition(6)
+    ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=8, batch_size=2
+    )
+    before = _rows(ice.read_table(spark, workdir, "t"))
+    man1 = ice.rewrite_files(spark, workdir, "t")
+    key_idx = None
+    checked_groups = 0
+    for path in _data_files(workdir, "t"):
+        meta = pq.ParquetFile(path).metadata
+        if key_idx is None:
+            key_idx = [
+                meta.schema.column(i).name for i in range(meta.num_columns)
+            ].index("key")
+        prev_max = None
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(key_idx).statistics
+            assert st is not None and st.min <= st.max
+            if prev_max is not None:
+                assert st.min >= prev_max, (path, g)
+            prev_max = st.max
+            checked_groups += 1
+    assert checked_groups >= 8  # at least one stats-bearing group per pid
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+
+    # unsorted rewrite: identity still holds (order-free checksum)
+    man2 = ice.rewrite_files(spark, workdir, "t", sort_by_key=False)
+    assert man2["version"] == man1["version"] + 1
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+
+
 def test_rewrite_crash_window_then_retry(spark, workdir):
     df = _src(spark)
     ice.write_partitioned(
