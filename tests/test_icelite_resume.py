@@ -222,6 +222,36 @@ def test_read_range_prunes_partitions(spark, workdir):
     assert empty.columns == pruned.columns
 
 
+def test_read_range_pushes_key_bounds_to_parquet(spark, workdir):
+    """The three pruning tiers of a range read, pinned in the plan: the
+    manifest's (batch, pid) selection lands in PartitionFilters (directory
+    listing — non-overlapping partitions never opened), and the residual
+    key bounds land in PushedFilters (Catalyst unwraps the bigint cast on
+    integral keys), where the sort-order compaction's row-group min/max
+    stats make them skip row groups INSIDE the surviving files.  A cast
+    that stopped unwrapping would silently demote every range read to a
+    full-file scan — this pin fails loudly instead."""
+    import contextlib
+    import io
+
+    df = _src(spark)
+    ice.write_partitioned(
+        df, workdir, "pp", stage="s1", key_col="key", n_partitions=8,
+        batch_size=2,
+    )
+    ice.rewrite_files(spark, workdir, "pp")
+    rr = ice.read_range(spark, workdir, "pp", 100, 200)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rr.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pushed and "GreaterThanOrEqual(key,100)" in pushed[0], pushed
+    assert "LessThanOrEqual(key,200)" in pushed[0], pushed
+    assert part and "__batch" in part[0] and "__pid" in part[0], part
+
+
 def test_schema_drift_refused(spark, workdir):
     """icelite tables are schema-frozen (documented divergence from
     Iceberg's id-based evolution): an append or resume whose DataFrame
