@@ -33,6 +33,30 @@ from .sources import pages as src
 S2_LEVEL = 12
 
 
+def compact_tables(
+    spark: SparkSession, root: str, tables: list[str], *, keep_last: int = 1
+) -> dict:
+    """The scheduled maintenance pass a production run pairs with ingest
+    (Iceberg's rewrite_data_files + expire_snapshots loop): bin-pack every
+    table's committed files into one key-sorted file per partition, then
+    expire the pre-compaction snapshots.  Returns per-table
+    files_before/files_after/version for the run report."""
+    import glob
+
+    out = {}
+    for table in tables:
+        pat = f"{root}/{table}/data/__batch=*/__pid=*/*.parquet"
+        before = len(glob.glob(pat))
+        man = ice.rewrite_files(spark, root, table)
+        ice.expire_snapshots(root, table, keep_last=keep_last)
+        out[table] = {
+            "files_before": before,
+            "files_after": len(glob.glob(pat)),
+            "version": man["version"],
+        }
+    return out
+
+
 def hilbert_range_bounds(
     df: DataFrame, key_col: str, n_partitions: int
 ) -> list[int]:

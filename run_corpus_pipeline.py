@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--quality-floor-ppm", type=int, default=400_000)
     ap.add_argument("--jaccard-ppm", type=int, default=850_000)
     ap.add_argument("--domain-cap", type=int, default=0)
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="run the maintenance pass after curation: rewrite_files "
+        "(bin-pack + key-sort corpus and audit) and expire the "
+        "pre-compaction snapshots",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -61,22 +68,23 @@ def main() -> None:
         r["split"]: r["n"]
         for r in corpus.groupBy("split").count().withColumnRenamed("count", "n").collect()
     }
-    print(
-        json.dumps(
-            {
-                "tables": {
-                    stage: {
-                        "partitions": len(m["partitions"]),
-                        "rows": sum(p["row_count"] for p in m["partitions"]),
-                        "version": m["version"],
-                    }
-                    for stage, m in manifests.items()
-                },
-                "dropped_by_status": by_status,
-                "kept_by_split": by_split,
+    report = {
+        "tables": {
+            stage: {
+                "partitions": len(m["partitions"]),
+                "rows": sum(p["row_count"] for p in m["partitions"]),
+                "version": m["version"],
             }
+            for stage, m in manifests.items()
+        },
+        "dropped_by_status": by_status,
+        "kept_by_split": by_split,
+    }
+    if args.compact:
+        report["compaction"] = pipeline.compact_tables(
+            spark, args.out, list(manifests)
         )
-    )
+    print(json.dumps(report))
     spark.stop()
 
 

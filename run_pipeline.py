@@ -25,6 +25,14 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default="/tmp/geo_out")
     ap.add_argument("--partitions", type=int, default=16)
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="run the maintenance pass after the pipeline: rewrite_files "
+        "(bin-pack + key-sort every table) and expire the pre-compaction "
+        "snapshots — the scheduled Iceberg maintenance a production run "
+        "pairs with ingest",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -37,18 +45,19 @@ def main() -> None:
     manifests = pipeline.run(
         spark, args.sf_dir, args.out, n_partitions=args.partitions
     )
-    print(
-        json.dumps(
-            {
-                stage: {
-                    "partitions": len(m["partitions"]),
-                    "rows": sum(p["row_count"] for p in m["partitions"]),
-                    "version": m["version"],
-                }
-                for stage, m in manifests.items()
-            }
+    report = {
+        stage: {
+            "partitions": len(m["partitions"]),
+            "rows": sum(p["row_count"] for p in m["partitions"]),
+            "version": m["version"],
+        }
+        for stage, m in manifests.items()
+    }
+    if args.compact:
+        report["compaction"] = pipeline.compact_tables(
+            spark, args.out, list(manifests)
         )
-    )
+    print(json.dumps(report))
     spark.stop()
 
 

@@ -43,3 +43,27 @@ def test_pipeline_kill_resume_and_range_lineage(spark, tmp_path):
     # resume produced complete manifests for every stage
     assert {s for s in manifests} == {"points", "joined", "tiles"}
     assert len(manifests["points"]["partitions"]) == 8
+
+    # maintenance pass (--compact): every stage bin-packed to one
+    # key-sorted file per non-empty partition, rows identical, and the
+    # range lineage still non-overlapping (compaction recomputes stats by
+    # reading back the compacted files)
+    before = {
+        t: sorted(tuple(r) for r in ice.read_table(spark, out, t).collect())
+        for t in manifests
+    }
+    rep = pipeline.compact_tables(spark, out, list(manifests))
+    for t in manifests:
+        assert rep[t]["files_after"] <= len(manifests[t]["partitions"])
+        assert rep[t]["files_after"] < rep[t]["files_before"] or t == "tiles"
+        after = sorted(
+            tuple(r) for r in ice.read_table(spark, out, t).collect()
+        )
+        assert after == before[t], t
+    lin2 = sorted(
+        (r["partition_id"], r["key_min"], r["key_max"])
+        for r in ice.lineage(spark, out, "points").collect()
+        if r["row_count"] > 0
+    )
+    for (p0, _, mx0), (p1, mn1, _) in zip(lin2, lin2[1:]):
+        assert p0 < p1 and mx0 <= mn1, (p0, mx0, p1, mn1)
