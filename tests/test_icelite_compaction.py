@@ -221,6 +221,25 @@ def test_rewrite_range_partitioned_reuses_bounds(spark, workdir):
     for rec in man1["partitions"]:
         assert rec["checksum"] == old[rec["pid"]]["checksum"]
 
+    # randomized range sweep over the compacted table: pruning via the
+    # RECOMPUTED lineage bounds must agree with an unpruned filter for
+    # every range shape (inside one partition, spanning bounds, empty,
+    # full) — the class a stats-recompute bug would corrupt silently
+    import random
+
+    rng = random.Random(7)
+    full = ice.read_table(spark, workdir, "t")
+    ranges = [(0, 10_000_000), (401, 402), (-5, -1), (200, 200)] + [
+        tuple(sorted((rng.randrange(0, 600), rng.randrange(0, 600))))
+        for _ in range(10)
+    ]
+    for lo2, hi2 in ranges:
+        want = _rows(
+            full.filter((F.col("key") >= lo2) & (F.col("key") <= hi2))
+        )
+        got = _rows(ice.read_range(spark, workdir, "t", lo2, hi2))
+        assert got == want, (lo2, hi2)
+
 
 def test_swap_manifest_cas_rejects_stale_base_version(workdir):
     """Commit CAS at the primitive level: a manifest computed from a base
