@@ -34,13 +34,30 @@ def stream_to_icelite(
     n_partitions: int = 8,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int | None = None,
+    expire_keep_last: int | None = 2,
 ):
     """Start a foreachBatch writer committing each micro-batch to the
     icelite table with exactly-once semantics.  Returns the started
-    StreamingQuery (caller awaits/stops)."""
+    StreamingQuery (caller awaits/stops).
+
+    ``compact_every=k`` runs the maintenance loop in-line every k
+    committed micro-batches (after batches k-1, 2k-1, ...): a
+    ``rewrite_files`` bin-pack (one key-sorted file per partition —
+    without it a long-running stream accretes ``n_partitions`` files per
+    micro-batch forever) followed by ``expire_snapshots(keep_last=
+    expire_keep_last)`` to reclaim the pre-compaction batch directories
+    (``None`` keeps every snapshot for time travel).  Safe across
+    restarts by construction: compacted-away tags live in
+    ``retired_batches``, so a checkpoint replay of a pre-compaction
+    micro-batch stays a no-op, and the single stream writer means the
+    compaction's CAS cannot lose to itself.  A replayed (already
+    committed) micro-batch skips the maintenance hook — replays must
+    stay pure no-ops."""
 
     def _commit(df: DataFrame, batch_id: int) -> None:
-        ice.append_batch(
+        before = ice.current_manifest(root, table)
+        man = ice.append_batch(
             df,
             root,
             table,
@@ -49,6 +66,15 @@ def stream_to_icelite(
             n_partitions=n_partitions,
             batch_tag=f"sb{batch_id}",
         )
+        replayed = before is not None and man["version"] == before["version"]
+        if (
+            compact_every
+            and not replayed
+            and (batch_id + 1) % compact_every == 0
+        ):
+            ice.rewrite_files(df.sparkSession, root, table)
+            if expire_keep_last is not None:
+                ice.expire_snapshots(root, table, keep_last=expire_keep_last)
 
     writer = (
         stream_df.writeStream.foreachBatch(_commit)

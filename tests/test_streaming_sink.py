@@ -112,6 +112,56 @@ def test_stream_sink_exactly_once_with_restart(spark, tmp_path):
     assert xor_after == xor_before
 
 
+def test_stream_sink_auto_compaction_bounds_files(spark, tmp_path):
+    """compact_every: the maintenance loop runs IN the stream (after
+    batches k-1, 2k-1, ...), so a long-running stream's file count stays
+    bounded instead of accreting n_partitions files per micro-batch; a
+    restart replaying compacted-away batches stays a no-op and new data
+    still lands exactly once."""
+    events = _split_events(spark, tmp_path / "src")
+    schema = events.withColumn("part", F.lit(1)).schema
+    root, ckpt = str(tmp_path / "ice"), str(tmp_path / "ckpt")
+
+    q = snk.stream_to_icelite(
+        _stream(spark, tmp_path / "src", schema).drop("part"),
+        root, "ev", stage="ingest", key_col="event_id",
+        n_partitions=4, checkpoint_dir=ckpt,
+        compact_every=2, expire_keep_last=1,
+    )
+    q.awaitTermination()
+    man = ice.current_manifest(root, "ev")
+    # 4 micro-batches, compactions after sb1 and sb3: the live manifest
+    # references ONE compacted batch; every sb tag (and the first
+    # compaction's own tag) is retired
+    live_tags = {rec["batch"] for rec in man["partitions"]}
+    assert len(live_tags) == 1 and next(iter(live_tags)).startswith("c")
+    assert {"sb0", "sb1", "sb2", "sb3"} <= set(man["retired_batches"])
+    assert ice.read_table(spark, root, "ev").count() == events.count()
+    # expire_keep_last=1 reclaimed the pre-compaction dirs: exactly one
+    # file per non-empty partition remains on disk
+    files = glob.glob(f"{root}/ev/data/__batch=*/__pid=*/*.parquet")
+    assert len(files) <= 4, files
+
+    # restart with one new file: replays of retired batches are no-ops,
+    # the new micro-batch commits, rows exact
+    extra = events.orderBy("event_id").limit(5).withColumn(
+        "event_id", F.col("event_id") + F.lit(20_000_000)
+    )
+    extra.withColumn("part", F.lit(9)).coalesce(1).write.partitionBy(
+        "part"
+    ).mode("append").parquet(str(tmp_path / "src"))
+    for f in glob.glob(str(tmp_path / "src" / "part=9") + "/*"):
+        os.utime(f, (_time.time() + 99, _time.time() + 99))
+    q2 = snk.stream_to_icelite(
+        _stream(spark, tmp_path / "src", schema).drop("part"),
+        root, "ev", stage="ingest", key_col="event_id",
+        n_partitions=4, checkpoint_dir=ckpt,
+        compact_every=2, expire_keep_last=1,
+    )
+    q2.awaitTermination()
+    assert ice.read_table(spark, root, "ev").count() == events.count() + 5
+
+
 def test_append_batch_replay_is_noop(spark, tmp_path):
     df = spark.read.parquet(f"{SF}/events.parquet").limit(100)
     root = str(tmp_path / "ice")
