@@ -155,15 +155,44 @@ def test_rewrite_sorts_by_key_within_files(spark, workdir):
     (result identity must hold either way: bit_xor checksum is order-free)."""
     import pyarrow.parquet as pq
 
-    df = _src(spark).repartition(6)
+    # big enough that a shrunken parquet block yields SEVERAL row groups
+    # per compacted file — at the default 128 MB block every sandbox-scale
+    # file is a single row group and monotonicity would hold vacuously;
+    # the at-scale shape this pins is multi-GB files with many row groups
+    df = (
+        spark.range(0, 200_000)
+        .select(
+            F.col("id").alias("key"),
+            F.xxhash64("id").cast("string").alias("payload"),
+        )
+        .repartition(16)
+    )
     ice.write_partitioned(
-        df, workdir, "t", stage="s1", key_col="key", n_partitions=8, batch_size=2
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=8,
+        batch_size=4,
     )
     before = _rows(ice.read_table(spark, workdir, "t"))
-    man1 = ice.rewrite_files(spark, workdir, "t")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    old_page = hconf.get("parquet.page.size")
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    hconf.setInt("parquet.page.size", 16 * 1024)
+    try:
+        man1 = ice.rewrite_files(spark, workdir, "t")
+    finally:
+        for k, old in (("parquet.block.size", old_block),
+                       ("parquet.page.size", old_page)):
+            if old is None:
+                hconf.unset(k)
+            else:
+                hconf.set(k, old)
+    # inspect ONLY the compacted batch's files (older snapshots' batch
+    # dirs remain on disk for pinned readers until expire_snapshots)
+    ctag = man1["partitions"][0]["batch"]
+    paths = glob.glob(f"{workdir}/t/data/__batch={ctag}/__pid=*/*.parquet")
     key_idx = None
     checked_groups = 0
-    for path in _data_files(workdir, "t"):
+    for path in paths:
         meta = pq.ParquetFile(path).metadata
         if key_idx is None:
             key_idx = [
@@ -177,7 +206,12 @@ def test_rewrite_sorts_by_key_within_files(spark, workdir):
                 assert st.min >= prev_max, (path, g)
             prev_max = st.max
             checked_groups += 1
-    assert checked_groups >= 8  # at least one stats-bearing group per pid
+    # meaningful only if files genuinely carry SEVERAL row groups — a
+    # single-group file is monotone by definition
+    assert len(paths) == 8 and checked_groups >= 3 * len(paths), (
+        len(paths),
+        checked_groups,
+    )
     assert _rows(ice.read_table(spark, workdir, "t")) == before
 
     # unsorted rewrite: identity still holds (order-free checksum)
