@@ -54,6 +54,8 @@ def stream_to_icelite(
     compaction's CAS cannot lose to itself.  A replayed (already
     committed) micro-batch skips the maintenance hook — replays must
     stay pure no-ops."""
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
 
     def _commit(df: DataFrame, batch_id: int) -> None:
         before = ice.current_manifest(root, table)

@@ -162,6 +162,15 @@ def test_stream_sink_auto_compaction_bounds_files(spark, tmp_path):
     assert ice.read_table(spark, root, "ev").count() == events.count() + 5
 
 
+def test_stream_sink_rejects_bad_compact_every(tmp_path):
+    # the guard fires before the stream (or any filesystem) is touched
+    with pytest.raises(ValueError, match="compact_every"):
+        snk.stream_to_icelite(
+            None, str(tmp_path), "ev", stage="s", key_col="k",
+            checkpoint_dir=str(tmp_path / "c"), compact_every=0,
+        )
+
+
 def test_append_batch_replay_is_noop(spark, tmp_path):
     df = spark.read.parquet(f"{SF}/events.parquet").limit(100)
     root = str(tmp_path / "ice")
