@@ -540,6 +540,7 @@ def rewrite_files(
     table: str,
     *,
     sort_by_key: bool = True,
+    files_per_partition: int = 1,
     fail_before_swap: bool = False,
     on_before_swap: Callable[[], None] | None = None,
 ) -> dict[str, Any]:
@@ -587,9 +588,22 @@ def rewrite_files(
     order.  Off only for pathological keys where the sort would dominate
     the rewrite.
 
+    ``files_per_partition`` (default 1) is the target-file-size knob for
+    tables whose partitions outgrow a sane parquet file (at 100 TB one
+    file per partition is too big): >1 switches the shuffle to a range
+    partitioning on (pid, key), cutting every partition directory into
+    that many KEY-DISJOINT sorted files — parquet footer min/max stats
+    then prune whole files before row groups.  The manifest tracks
+    partition directories, not files, so readers are agnostic to the
+    split.
+
     Scale note: the rewrite is one distributed read→repartition(__pid)→
     write job (every partition's rows land in one task → one file); only
     the per-partition stat rows reach the driver."""
+    if files_per_partition < 1:
+        raise ValueError(
+            f"files_per_partition must be >= 1, got {files_per_partition}"
+        )
     _assert_local_root(root)
     man = current_manifest(root, table)
     if man is None:
@@ -613,13 +627,22 @@ def rewrite_files(
         pid = pid_expr.cast("int")
     else:
         pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n)).cast("int")
-    staged = (
-        df.withColumn("__pid", pid)
-        .withColumn("__batch", F.lit(tag))
+    staged = df.withColumn("__pid", pid).withColumn("__batch", F.lit(tag))
+    if files_per_partition == 1:
         # one shuffle keyed on __pid: each partition's rows land in ONE
         # task, so each pid directory holds exactly one compacted file
-        .repartition(n, F.col("__pid"))
-    )
+        staged = staged.repartition(n, F.col("__pid"))
+    else:
+        # range shuffle on (pid, key): each task holds a contiguous
+        # (pid, key) slice, so every pid directory is cut into
+        # ~files_per_partition KEY-DISJOINT files — footer min/max stats
+        # then prune whole files, the tier above row groups.  The range
+        # partitioner samples the input (one extra job) and balances
+        # skewed keys by construction; this is the path for tables whose
+        # partitions outgrow a sane parquet file size.
+        staged = staged.repartitionByRange(
+            n * files_per_partition, F.col("__pid"), F.col(key_col)
+        )
     if sort_by_key:
         # sort (pid, key) within each task: hash collisions can co-locate
         # two pids in one task, and the leading __pid keeps each output

@@ -220,6 +220,63 @@ def test_rewrite_sorts_by_key_within_files(spark, workdir):
     assert _rows(ice.read_table(spark, workdir, "t")) == before
 
 
+def test_rewrite_files_per_partition_splits_key_disjoint(spark, workdir):
+    """files_per_partition > 1 — the target-file-size knob for partitions
+    that outgrow one parquet file: the range shuffle on (pid, key) must
+    cut every partition directory into multiple KEY-DISJOINT sorted files
+    (footer min/max prune whole files), with rows and reads identical."""
+    import pyarrow.parquet as pq
+
+    df = (
+        spark.range(0, 100_000)
+        .select(
+            F.col("id").alias("key"),
+            F.xxhash64("id").cast("string").alias("payload"),
+        )
+        .repartition(16)
+    )
+    bounds = [25_000, 50_000, 75_000]
+    ice.write_partitioned(
+        df, workdir, "t", stage="s1", key_col="key", n_partitions=4,
+        batch_size=4, range_bounds=bounds,
+    )
+    before = _rows(ice.read_table(spark, workdir, "t"))
+    man1 = ice.rewrite_files(spark, workdir, "t", files_per_partition=3)
+    ctag = man1["partitions"][0]["batch"]
+    by_pid: dict[str, list] = {}
+    for path in glob.glob(
+        f"{workdir}/t/data/__batch={ctag}/__pid=*/*.parquet"
+    ):
+        pid = path.split("__pid=")[1].split("/")[0]
+        meta = pq.ParquetFile(path).metadata
+        names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+        ki = names.index("key")
+        mins = [meta.row_group(g).column(ki).statistics.min
+                for g in range(meta.num_row_groups)]
+        maxs = [meta.row_group(g).column(ki).statistics.max
+                for g in range(meta.num_row_groups)]
+        by_pid.setdefault(pid, []).append((min(mins), max(maxs)))
+    # genuinely split: more files than partitions, and every pid's files
+    # carry non-overlapping key ranges (a range-partition slice can span
+    # a pid boundary, so per-pid counts vary — disjointness is the claim)
+    total = sum(len(v) for v in by_pid.values())
+    assert len(by_pid) == 4 and total >= 8, by_pid
+    for pid, ranges in by_pid.items():
+        ranges.sort()
+        for (_, mx0), (mn1, _) in zip(ranges, ranges[1:]):
+            assert mn1 > mx0, (pid, ranges)
+    assert _rows(ice.read_table(spark, workdir, "t")) == before
+    # range reads over the split files stay exact
+    lo, hi = 30_000, 60_000
+    want = [t for t in before if lo <= t[0] <= hi]
+    assert _rows(ice.read_range(spark, workdir, "t", lo, hi)) == want
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="files_per_partition"):
+        ice.rewrite_files(spark, workdir, "t", files_per_partition=0)
+
+
 def test_rewrite_crash_window_then_retry(spark, workdir):
     df = _src(spark)
     ice.write_partitioned(
