@@ -1033,3 +1033,100 @@ def lineage(
         for rec in (man["partitions"] if man else [])
     ]
     return spark.createDataFrame(rows, LINEAGE_SCHEMA)
+
+
+def verify_table(
+    spark: SparkSession, root: str, table: str, as_of: int | None = None
+) -> dict[str, Any]:
+    """Table fsck (Iceberg has no direct analogue; closest is a manual
+    metadata/content audit): re-derive every committed partition's lineage
+    stats from the data files ON DISK and diff them against the manifest.
+
+    ``read_range`` treats the manifest's (key_min, key_max) as a
+    correctness-bearing pruning index and resume trusts row_count/checksum
+    — this is the audit that proves the index still describes the bytes,
+    e.g. after a filesystem migration, a restore from backup, or any
+    suspected partial write.  One distributed scan (grouped by the
+    (batch, pid) file-partition columns, so stats come from the same
+    files a reader would open); only per-partition stat rows reach the
+    driver.
+
+    Returns ``{"ok": bool, "partitions_checked": int, "mismatches":
+    [...]}`` where each mismatch carries the batch, raw pid, kind
+    (``missing_data`` — manifest says rows exist but no file does;
+    ``unexpected_rows`` — manifest says empty but files hold rows; or the
+    disagreeing field ``row_count``/``key_min``/``key_max``/``checksum``)
+    plus the expected and observed values."""
+    man = (
+        current_manifest(root, table)
+        if as_of is None
+        else manifest_at(root, table, as_of)
+    )
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest for {table} under {root}")
+    n = man["n_partitions"]
+    expected = {(rec["batch"], _rec_pid(rec, n)): rec for rec in man["partitions"]}
+
+    observed: dict[tuple, Any] = {}
+    cond = _committed_batch_pid_filter(man)
+    if cond is not None and os.path.isdir(_data_dir(root, table)):
+        base = spark.read.parquet(_data_dir(root, table)).filter(cond)
+        # checksum over the DATA columns in file-schema order — the same
+        # expression _batch_stats committed (xxhash64 is column-order
+        # sensitive; __batch/__pid are directory-derived, not data)
+        data_cols = [c for c in base.columns if c not in ("__batch", "__pid")]
+        key = F.col(man["key_col"]).cast("bigint")
+        stats = base.groupBy("__batch", "__pid").agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.min(key).alias("key_min"),
+            F.max(key).alias("key_max"),
+            F.expr("bit_xor(xxhash64(" + ", ".join(data_cols) + "))").alias(
+                "checksum"
+            ),
+        )
+        observed = {
+            (r["__batch"], int(r["__pid"])): r for r in stats.collect()
+        }
+
+    mismatches: list[dict[str, Any]] = []
+    for (batch, pid), rec in expected.items():
+        ob = observed.get((batch, pid))
+        if rec["row_count"] == 0:
+            if ob is not None:
+                mismatches.append(
+                    {
+                        "batch": batch,
+                        "pid": pid,
+                        "kind": "unexpected_rows",
+                        "expected": 0,
+                        "observed": ob["row_count"],
+                    }
+                )
+            continue
+        if ob is None:
+            mismatches.append(
+                {
+                    "batch": batch,
+                    "pid": pid,
+                    "kind": "missing_data",
+                    "expected": rec["row_count"],
+                    "observed": 0,
+                }
+            )
+            continue
+        for field in ("row_count", "key_min", "key_max", "checksum"):
+            if ob[field] != rec[field]:
+                mismatches.append(
+                    {
+                        "batch": batch,
+                        "pid": pid,
+                        "kind": field,
+                        "expected": rec[field],
+                        "observed": ob[field],
+                    }
+                )
+    return {
+        "ok": not mismatches,
+        "partitions_checked": len(expected),
+        "mismatches": mismatches,
+    }
