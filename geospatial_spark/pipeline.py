@@ -38,9 +38,13 @@ def compact_tables(
 ) -> dict:
     """The scheduled maintenance pass a production run pairs with ingest
     (Iceberg's rewrite_data_files + expire_snapshots loop): bin-pack every
-    table's committed files into one key-sorted file per partition, then
-    expire the pre-compaction snapshots.  Returns per-table
-    files_before/files_after/version for the run report."""
+    table's committed files into one key-sorted file per partition, expire
+    the pre-compaction snapshots, then ``verify_table`` — the fsck proving
+    the rewritten manifest still describes the bytes on disk before the
+    maintenance run reports success.  Returns per-table
+    files_before/files_after/version/verified for the run report; raises
+    if any table fails verification (a maintenance pass must never
+    silently leave a corrupt index behind)."""
     import glob
 
     out = {}
@@ -49,10 +53,17 @@ def compact_tables(
         before = len(glob.glob(pat))
         man = ice.rewrite_files(spark, root, table)
         ice.expire_snapshots(root, table, keep_last=keep_last)
+        fsck = ice.verify_table(spark, root, table)
+        if not fsck["ok"]:
+            raise RuntimeError(
+                f"post-compaction verify_table failed for {table!r}: "
+                f"{fsck['mismatches'][:3]}"
+            )
         out[table] = {
             "files_before": before,
             "files_after": len(glob.glob(pat)),
             "version": man["version"],
+            "verified": fsck["partitions_checked"],
         }
     return out
 

@@ -69,6 +69,13 @@ def test_corpus_pipeline_end_to_end(spark, workdir):
     assert set(splits) <= {"train", "val", "test"} and splits["train"] > 0
     assert sum(splits.values()) == n_kept
 
+    # the maintenance pass (--compact) runs on the curated tables:
+    # bin-pack + expiry + self-auditing fsck, rows unchanged
+    rep = pipeline.compact_tables(spark, workdir, ["corpus", "audit"])
+    assert rep["corpus"]["files_after"] <= 8 and rep["corpus"]["verified"] > 0
+    assert ice.read_table(spark, workdir, "corpus").count() == n_kept
+    assert ice.read_table(spark, workdir, "audit").count() == n_drop
+
 
 def test_corpus_pipeline_rerun_is_deterministic(spark, workdir):
     a = f"{workdir}/a"
